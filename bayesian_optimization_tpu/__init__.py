@@ -17,12 +17,21 @@ from .utils import (
     AskEmptyError, ConstraintEvaluationError, FlatFitnessError,
     ObjectiveEvaluationError, RecommendationUnavailableError,
 )
+from .core import (
+    BO, AnnealingBO, BaseBO, BaseOptimizer, NoisyBO, ParallelBO,
+    SelfAdaptiveBO, Solution,
+)
+from .models import GaussianProcess
+from .fmin import fmin
 
 __all__ = [
-    "__version__",
+    "__version__", "fmin",
     "Variable", "Real", "Integer", "Ordinal", "Discrete", "Bool", "Subset",
     "SearchSpace", "RealSpace", "IntegerSpace", "OrdinalSpace", "DiscreteSpace",
     "BoolSpace", "SubsetSpace", "Node", "SpaceEncoding",
+    "Solution", "BaseOptimizer", "BaseBO",
+    "BO", "ParallelBO", "AnnealingBO", "SelfAdaptiveBO", "NoisyBO",
+    "GaussianProcess",
     "AskEmptyError", "FlatFitnessError", "RecommendationUnavailableError",
     "ObjectiveEvaluationError", "ConstraintEvaluationError",
 ]

@@ -1,0 +1,320 @@
+"""Gaussian-process surrogate (Kriging) with batched TPU-native fitting.
+
+Capability parity with the reference's `GaussianProcess`
+(ref: bayes_optim/surrogate/gaussian_process/gpr.py:78-1248): anisotropic
+length-scales `theta` box-bounded in [thetaL, thetaU] and optimized in log10
+space; three estimation modes (noiseless / noisy / noise_estim via the alpha
+split); concentrated and restricted (REML) likelihoods; universal/ordinary
+kriging trends; BLUP predict with MSE; posterior-mean/variance gradients;
+automatic nugget escalation when the likelihood degenerates
+(ref: gpr.py:384-399).
+
+TPU-first design:
+- multi-restart MLE runs as ONE vmapped L-BFGS program (all restarts
+  advance together; each step is a batched Cholesky on the MXU) instead of
+  the reference's sequential `fmin_l_bfgs_b` loop (gpr.py:1127-1162);
+- observations are padded to size buckets so refits during a BO run reuse
+  compiled programs instead of recompiling at every n;
+- predict evaluates arbitrary candidate batches in one fused program
+  (the reference's acquisition path calls predict one point at a time);
+- all gradients (theta-likelihood, x-posterior) come from autodiff; the
+  reference's ~400 lines of hand-written kernel derivatives
+  (gpr.py:600-770) have no counterpart.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.optimize import minimize_restarts
+from .likelihood import (
+    GPConfig,
+    PosteriorState,
+    n_hyper_params,
+    neg_log_likelihood,
+    posterior_state,
+    predict as _predict_impl,
+)
+from .trend import BasisExpansionTrend, NonparametricTrend, constant_trend
+
+
+def _bucket(n: int) -> int:
+    """Pad count n up to a size bucket to bound recompilation."""
+    for b in (8, 16, 32, 64):
+        if n <= b:
+            return b
+    return int(-(-n // 64) * 64)
+
+
+@partial(jax.jit, static_argnames=("config", "max_iter"))
+def _fit_kernel(x0_batch, lo, hi, X, Y, F, mask, n, noise_var, beta0, config, max_iter):
+    nll = lambda p: neg_log_likelihood(p, X, Y, F, mask, n, noise_var, beta0, config)
+    res = minimize_restarts(nll, x0_batch, lo, hi, max_iter=max_iter)
+    state = posterior_state(res.x_best, X, Y, F, mask, n, noise_var, beta0, config)
+    return res.x_best, res.fun_best, state
+
+
+@partial(jax.jit, static_argnames=("config", "eval_mse"))
+def _predict_kernel(state, Xq, Fq, config, eval_mse):
+    return _predict_impl(state, Xq, Fq, config, eval_mse)
+
+
+class GaussianProcess:
+    """Kriging surrogate over a numeric feature space (use
+    `SpaceEncoding.unit_to_embed` upstream for mixed spaces)."""
+
+    def __init__(
+        self,
+        mean: Optional[BasisExpansionTrend] = None,
+        corr: str = "matern",
+        theta0=None,
+        thetaL=None,
+        thetaU=None,
+        sigma2=None,
+        nugget: float = 1e-6,
+        noise_estim: bool = False,
+        optimizer: str = "BFGS",
+        likelihood: str = "concentrated",
+        random_start: Optional[int] = None,
+        wait_iter: int = 5,
+        eval_budget: Optional[int] = None,
+        random_state=None,
+        verbose: bool = False,
+        dtype=jnp.float32,
+        max_iter: int = 50,
+    ):
+        self.mean = mean
+        self.corr_type = corr if isinstance(corr, str) else "custom"
+        self._corr = corr
+        self.theta0 = None if theta0 is None else np.atleast_1d(np.asarray(theta0, float))
+        self.thetaL = None if thetaL is None else np.atleast_1d(np.asarray(thetaL, float))
+        self.thetaU = None if thetaU is None else np.atleast_1d(np.asarray(thetaU, float))
+        if self.thetaL is not None and not (
+            np.isfinite(self.thetaL).all() and np.isfinite(self.thetaU).all()
+        ):
+            raise ValueError("all theta bounds must be finite")
+        self.sigma2 = sigma2
+        self.nugget = float(nugget) if nugget else 0.0
+        self.noise_estim = bool(noise_estim)
+        self.optimizer = optimizer
+        self.likelihood = likelihood
+        self.random_start = random_start
+        self.wait_iter = wait_iter
+        self.eval_budget = eval_budget
+        self.max_iter = int(max_iter)
+        self.verbose = verbose
+        self.dtype = dtype
+        self._rng = np.random.default_rng(
+            random_state if isinstance(random_state, (int, np.integer)) else None
+        )
+        self.is_fitted = False
+        self._state: Optional[PosteriorState] = None
+
+        # estimation-mode resolution (ref parity: gpr.py:256-263)
+        if self.noise_estim:
+            self.estimation_mode = "noise_estim"
+        elif self.nugget:
+            self.estimation_mode = "noisy"
+        else:
+            self.estimation_mode = "noiseless"
+        self.noise_var = self.nugget
+
+    # ------------------------------------------------------------------
+    def _config(self, dim: int) -> GPConfig:
+        from .trend import constant_trend as _ct, linear_trend as _lt, quadratic_trend as _qt
+
+        mean = self.mean
+        estimate_trend = isinstance(mean, BasisExpansionTrend) and mean.estimate_coefficients
+        n_basis = mean.n_basis if isinstance(mean, BasisExpansionTrend) else 1
+        trend_name = {_ct: "constant", _lt: "linear", _qt: "quadratic"}.get(type(mean), "custom")
+        return GPConfig(
+            kernel=self.corr_type if isinstance(self._corr, str) else self._corr,
+            mode=self.estimation_mode,
+            likelihood=self.likelihood,
+            estimate_trend=estimate_trend,
+            n_basis=n_basis,
+            trend=trend_name,
+            jitter=1e-6,
+        )
+
+    def _trend_F(self, X: jnp.ndarray) -> jnp.ndarray:
+        if isinstance(self.mean, BasisExpansionTrend):
+            return self.mean.F(X)
+        return jnp.ones((X.shape[0], 1), X.dtype)
+
+    def _prior_mean_values(self, X: jnp.ndarray) -> jnp.ndarray:
+        """Used only when trend coefficients are fixed/nonparametric."""
+        if isinstance(self.mean, NonparametricTrend):
+            return self.mean(X)
+        return None
+
+    # ------------------------------------------------------------------
+    def _hyper_bounds(self, dim: int, y: np.ndarray) -> np.ndarray:
+        """log10-space bounds rows [lo, hi] (ref parity: gpr.py:1041-1056)."""
+        rows = [np.log10(np.c_[self.thetaL, self.thetaU])]
+        if self.estimation_mode == "noisy":
+            hi = max(1e-3, float(np.std(y)) ** 2)
+            rows.append(np.log10(np.atleast_2d([1e-5, hi])))
+        elif self.estimation_mode == "noise_estim":
+            rows.append(np.log10(np.atleast_2d([1e-10, 1.0 - 1e-10])))
+        return np.concatenate(rows, axis=0)
+
+    def fit(self, X, y) -> "GaussianProcess":
+        X = np.asarray(X, dtype=float)
+        y = np.asarray(y, dtype=float)
+        if X.ndim == 1:
+            X = X.reshape(-1, 1)
+        if y.ndim == 1:
+            y = y.reshape(-1, 1)
+        n, dim = X.shape
+        m = y.shape[1]
+        if self.mean is None:
+            self.mean = constant_trend(dim)
+        if self.thetaL is None or self.thetaU is None:
+            raise ValueError("thetaL/thetaU are required for fitting")
+        if len(self.thetaL) == 1 and dim > 1:
+            self.thetaL = np.repeat(self.thetaL, dim)
+            self.thetaU = np.repeat(self.thetaU, dim)
+
+        config = self._config(dim)
+        n_pad = _bucket(n)
+        Xp = np.zeros((n_pad, dim))
+        Xp[:n] = X
+        Yp = np.zeros((n_pad, m))
+        Yp[:n] = y
+        mask = np.zeros(n_pad)
+        mask[:n] = 1.0
+
+        Xj = jnp.asarray(Xp, self.dtype)
+        Yj = jnp.asarray(Yp, self.dtype)
+        maskj = jnp.asarray(mask, self.dtype)
+        Fj = self._trend_F(Xj) * maskj[:, None]
+        beta0 = (
+            self.mean.beta
+            if isinstance(self.mean, BasisExpansionTrend) and self.mean.beta is not None
+            else jnp.zeros(Fj.shape[1], self.dtype)
+        )
+
+        bounds = self._hyper_bounds(dim, y)
+        n_par = n_hyper_params(dim, config)
+        R = self.random_start or max(10, dim)
+
+        # first start: previous optimum / theta0; others log10-uniform
+        starts = self._rng.uniform(bounds[:, 0], bounds[:, 1], size=(R, n_par))
+        warm = getattr(self, "theta_", None)
+        if warm is not None and len(warm) == dim:
+            starts[0, :dim] = np.log10(np.clip(warm, self.thetaL, self.thetaU))
+        elif self.theta0 is not None:
+            t0 = np.repeat(self.theta0, dim) if len(self.theta0) == 1 else self.theta0
+            starts[0, :dim] = np.log10(np.clip(t0, self.thetaL, self.thetaU))
+
+        noise_var = self.noise_var if self.estimation_mode == "noisy" else 0.0
+        for attempt in range(6):
+            par, nll, state = _fit_kernel(
+                jnp.asarray(starts, self.dtype),
+                jnp.asarray(bounds[:, 0], self.dtype),
+                jnp.asarray(bounds[:, 1], self.dtype),
+                Xj, Yj, Fj, maskj, jnp.asarray(float(n), self.dtype),
+                jnp.asarray(float(noise_var), self.dtype),
+                beta0, config, self.max_iter,
+            )
+            ok = bool(np.isfinite(float(nll))) and bool(
+                np.all(np.isfinite(np.asarray(state.gamma)))
+            )
+            if ok:
+                break
+            # degenerate likelihood: escalate the nugget (ref parity: gpr.py:384-399)
+            if self.estimation_mode == "noiseless":
+                self.estimation_mode = "noisy"
+                noise_var = 1e-5
+                config = self._config(dim)
+                bounds = self._hyper_bounds(dim, y)
+                n_par = n_hyper_params(dim, config)
+                starts = self._rng.uniform(bounds[:, 0], bounds[:, 1], size=(R, n_par))
+            else:
+                noise_var = max(noise_var, 1e-8) * 10.0
+        self.noise_var = noise_var
+
+        self._state = state
+        self._config_cache = config
+        self.theta_ = np.asarray(10.0 ** np.asarray(par)[:dim], dtype=float)
+        self.log_likelihood_ = -float(nll)
+        self.sigma2 = np.asarray(state.sigma2, dtype=float)
+        if isinstance(self.mean, BasisExpansionTrend) and self.mean.estimate_coefficients:
+            self.mean.beta = state.beta
+        self.is_fitted = True
+        self._n = n
+        self._dim = dim
+        self._m = m
+        return self
+
+    # ------------------------------------------------------------------
+    def _predict_padded(self, X: np.ndarray, eval_mse: bool):
+        nq = X.shape[0]
+        nq_pad = _bucket(nq)
+        Xq = np.zeros((nq_pad, self._dim))
+        Xq[:nq] = X
+        Xj = jnp.asarray(Xq, self.dtype)
+        Fq = self._trend_F(Xj)
+        mu, mse = _predict_kernel(self._state, Xj, Fq, self._config_cache, eval_mse)
+        return mu[:nq], (mse[:nq] if mse is not None else None)
+
+    def predict(self, X, eval_MSE: bool = False):
+        """BLUP mean (and MSE) at X: (n_eval, n_targets), squeezed to
+        (n_eval,) for single-target models (ref parity: gpr.py:424-535)."""
+        if not self.is_fitted:
+            raise ValueError("model is not fitted yet")
+        X = np.asarray(X, dtype=float)
+        if X.ndim == 1:
+            X = X.reshape(1, -1)
+        mu, mse = self._predict_padded(X, eval_MSE)
+        mu = np.asarray(mu, dtype=float)
+        if self._m == 1:
+            mu = mu.ravel()
+        if eval_MSE:
+            mse = np.asarray(mse, dtype=float)
+            if self._m == 1:
+                mse = mse.ravel()
+            return mu, mse
+        return mu
+
+    def gradient(self, x):
+        """Gradients of posterior mean and variance at a single point
+        (ref parity: gpr.py:537-576); computed by autodiff."""
+        x = jnp.asarray(np.asarray(x, dtype=float).ravel(), self.dtype)
+        state, config = self._state, self._config_cache
+
+        def mu_fn(xx):
+            Xq = xx.reshape(1, -1)
+            mu, _ = _predict_impl(state, Xq, self._trend_F(Xq), config, False)
+            return jnp.sum(mu)
+
+        def mse_fn(xx):
+            Xq = xx.reshape(1, -1)
+            _, mse = _predict_impl(state, Xq, self._trend_F(Xq), config, True)
+            return jnp.sum(mse)
+
+        dmu = np.asarray(jax.grad(mu_fn)(x), dtype=float).reshape(-1, 1)
+        dmse = np.asarray(jax.grad(mse_fn)(x), dtype=float).reshape(-1, 1)
+        return dmu, dmse
+
+    # -- device-side handles for fused acquisition programs ---------------
+    @property
+    def posterior(self) -> PosteriorState:
+        """The fixed-shape posterior state for building fused jit programs."""
+        if not self.is_fitted:
+            raise ValueError("model is not fitted yet")
+        return self._state
+
+    @property
+    def config(self) -> GPConfig:
+        return self._config_cache
+
+    def predict_jax(self, Xq: jnp.ndarray, eval_mse: bool = True):
+        """Pure-JAX predict on device arrays (jit/vmap/grad-compatible);
+        Xq: (Nq, dim) -> (mu[Nq, m], mse[Nq, m])."""
+        return _predict_impl(self._state, Xq, self._trend_F(Xq), self._config_cache, eval_mse)

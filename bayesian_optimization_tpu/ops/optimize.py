@@ -1,0 +1,96 @@
+"""Vectorized box-constrained minimization for hyperparameter fitting and
+gradient-based acquisition argmax.
+
+TPU-first replacement for the reference's serial `fmin_l_bfgs_b` restart
+loops (ref: bayes_optim/surrogate/gaussian_process/gpr.py:1127-1162 and
+bayes_optim/acquisition/optim/__init__.py:76-93): all restarts run *at once*
+under `vmap` as one XLA program — each likelihood/acquisition evaluation for
+R restarts is a single batched Cholesky/matmul on the MXU instead of R
+sequential scipy calls.
+
+Box bounds are enforced by a smooth sigmoid reparameterization
+x = lo + (hi - lo) * sigmoid(z) (the unconstrained z-space is what optax's
+L-BFGS + zoom line-search sees), rather than L-BFGS-B's active-set
+projection. Behavioral effect is the same: iterates stay strictly inside the
+box, optima in the interior are reached to line-search precision.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+_Z_CLIP = 12.0  # |z| beyond this is numerically saturated in f32
+
+
+def to_box(z: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
+    return lo + (hi - lo) * jax.nn.sigmoid(z)
+
+
+def from_box(x: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
+    frac = jnp.clip((x - lo) / jnp.maximum(hi - lo, 1e-30), 1e-6, 1.0 - 1e-6)
+    return jnp.clip(jnp.log(frac) - jnp.log1p(-frac), -_Z_CLIP, _Z_CLIP)
+
+
+class MinimizeResult(NamedTuple):
+    x: jnp.ndarray        # (R, d) final points, in box coordinates
+    fun: jnp.ndarray      # (R,) final objective values
+    x_best: jnp.ndarray   # (d,) best point over restarts
+    fun_best: jnp.ndarray # () best value
+
+
+def minimize_restarts(
+    fun: Callable[[jnp.ndarray], jnp.ndarray],
+    x0: jnp.ndarray,
+    lo: jnp.ndarray,
+    hi: jnp.ndarray,
+    max_iter: int = 60,
+    memory_size: int = 10,
+    tol: float = 1e-8,
+) -> MinimizeResult:
+    """Minimize `fun` from each row of x0 (R, d) inside [lo, hi], all
+    restarts in parallel; returns per-restart results and the overall best.
+
+    `fun` maps (d,) -> scalar and must be jit/vmap-compatible.
+    """
+    lo = jnp.asarray(lo, x0.dtype)
+    hi = jnp.asarray(hi, x0.dtype)
+
+    def zfun(z):
+        return fun(to_box(z, lo, hi))
+
+    opt = optax.lbfgs(
+        memory_size=memory_size,
+        linesearch=optax.scale_by_zoom_linesearch(max_linesearch_steps=20),
+    )
+    value_and_grad = optax.value_and_grad_from_state(zfun)
+
+    def run_one(z0):
+        state0 = opt.init(z0)
+
+        def step(carry, _):
+            z, state = carry
+            value, grad = value_and_grad(z, state=state)
+            updates, state = opt.update(grad, state, z, value=value, grad=grad, value_fn=zfun)
+            z = optax.apply_updates(z, updates)
+            z = jnp.clip(z, -_Z_CLIP, _Z_CLIP)
+            return (z, state), value
+
+        (z, state), _ = jax.lax.scan(step, (z0, state0), None, length=max_iter)
+        value = zfun(z)
+        return z, value
+
+    z0 = from_box(x0, lo, hi)
+    zs, vals = jax.vmap(run_one)(z0)
+    xs = to_box(zs, lo, hi)
+    vals = jnp.where(jnp.isfinite(vals), vals, jnp.inf)
+    best = jnp.argmin(vals)
+    return MinimizeResult(x=xs, fun=vals, x_best=xs[best], fun_best=vals[best])
+
+
+def maximize_restarts(fun, x0, lo, hi, **kw) -> MinimizeResult:
+    """Maximization convenience wrapper (negates fun and the results)."""
+    res = minimize_restarts(lambda x: -fun(x), x0, lo, hi, **kw)
+    return MinimizeResult(x=res.x, fun=-res.fun, x_best=res.x_best, fun_best=-res.fun_best)

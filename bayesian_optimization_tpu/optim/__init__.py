@@ -1,0 +1,6 @@
+"""Acquisition argmax engines: vmapped L-BFGS multistart, population
+(1+1)-Cholesky-CMA-ES, mixed-space evolution (MIES)."""
+from .argmax import AcquisitionArgmax, make_unit_criterion
+from .cma import OnePlusOne_Cholesky_CMA, run_cma
+
+__all__ = ["AcquisitionArgmax", "make_unit_criterion", "OnePlusOne_Cholesky_CMA", "run_cma"]

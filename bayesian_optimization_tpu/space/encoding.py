@@ -190,6 +190,14 @@ class SpaceEncoding:
         return self.unit_to_embed(jnp.asarray(self.encode_unit(X_raw), self.dtype))
 
     # ---------------------------------------------------------------- misc
+    # identity hash/eq: a SpaceEncoding instance is immutable after build, so
+    # it can be used as a static argument of jitted programs
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
     @property
     def n_free_real(self) -> int:
         return int(np.sum(self.is_real))
