@@ -18,10 +18,11 @@ from .utils import (
     ObjectiveEvaluationError, RecommendationUnavailableError,
 )
 from .core import (
-    BO, AnnealingBO, BaseBO, BaseOptimizer, NoisyBO, ParallelBO,
-    SelfAdaptiveBO, Solution,
+    BO, AnnealingBO, BaseBO, BaseOptimizer, ConditionalBO, MOBO, MOBO_qEHVI,
+    MultiAcquisitionBO, NoisyBO, ParallelBO, PCABO, SelfAdaptiveBO, Solution,
 )
 from .models import GaussianProcess
+from .models.random_forest import RandomForest, SurrogateAggregation
 from .fmin import fmin
 
 __all__ = [
@@ -31,7 +32,8 @@ __all__ = [
     "BoolSpace", "SubsetSpace", "Node", "SpaceEncoding",
     "Solution", "BaseOptimizer", "BaseBO",
     "BO", "ParallelBO", "AnnealingBO", "SelfAdaptiveBO", "NoisyBO",
-    "GaussianProcess",
+    "MultiAcquisitionBO", "MOBO", "MOBO_qEHVI", "PCABO", "ConditionalBO",
+    "GaussianProcess", "RandomForest", "SurrogateAggregation",
     "AskEmptyError", "FlatFitnessError", "RecommendationUnavailableError",
     "ObjectiveEvaluationError", "ConstraintEvaluationError",
 ]

@@ -120,6 +120,40 @@ class SelfAdaptiveBO(ParallelBO):
         return [r[0] for r in results], values
 
 
+class MultiAcquisitionBO(BO):
+    """Batch points alternate between MGFI and UCB criteria round-robin,
+    each with its own hyperparameter sampler
+    (ref parity: bayes_optim/extension.py:309-353)."""
+
+    def __init__(self, n_point: int = 2, **kwargs):
+        kwargs.pop("acquisition_fun", None)
+        super().__init__(n_point=n_point, acquisition_fun="MGFI", **kwargs)
+        if self.n_point < 2:
+            raise ValueError("MultiAcquisitionBO requires n_point >= 2")
+        self._acquisition_pool = ["MGFI", "UCB"]
+        self._pool_par = {"MGFI": {"t": 1.0}, "UCB": {"alpha": 0.5}}
+        self._pool_sampler = {
+            "MGFI": lambda par: {"t": float(np.exp(np.log(par["t"]) + 0.5 * self._rng.standard_normal()))},
+            "UCB": lambda par: {
+                "alpha": float(1.0 / (1.0 + np.exp((par["alpha"] * 4.0 - 2.0) + 0.6 * self._rng.standard_normal())))
+            },
+        }
+
+    def _batch_arg_max_acquisition(self, n_point: int, fixed_units):
+        candidates, values = [], []
+        for i in range(n_point):
+            name = self._acquisition_pool[i % len(self._acquisition_pool)]
+            par = self._pool_sampler[name](self._pool_par[name])
+            self.acquisition_fun = name
+            try:
+                u, v = self._argmax_one(self._acq_par_defaults(par), fixed_units)
+            finally:
+                self.acquisition_fun = "MGFI"
+            candidates.append(u)
+            values.append(v)
+        return candidates, values
+
+
 class NoisyBO(ParallelBO):
     """BO for noisy objectives (ref parity: bayes_opt.py:177-194): duplicates
     allowed, plugin comes from model predictions rather than observations."""

@@ -58,6 +58,22 @@ def _fit_kernel(x0_batch, lo, hi, X, Y, F, mask, n, noise_var, beta0, config, ma
     return res.x_best, res.fun_best, state
 
 
+@partial(jax.jit, static_argnames=("config", "n_generations"))
+def _fit_kernel_cma(key, x0_batch, lo, hi, X, Y, F, mask, n, noise_var, beta0, config, n_generations):
+    """MLE by population (1+1)-Cholesky-CMA chains over log10 hyperparameters
+    (replaces the reference's IPOP-CMA-ES option, ref: gpr.py:1164-1181 +
+    cma_es.py — restarts become parallel chains instead of sequential
+    lambda-doubling runs)."""
+    from ..optim.cma import run_cma
+
+    nll_batch = jax.vmap(
+        lambda p: neg_log_likelihood(p, X, Y, F, mask, n, noise_var, beta0, config)
+    )
+    xb, fb, _, _ = run_cma(key, nll_batch, x0_batch, lo, hi, n_generations)
+    state = posterior_state(xb, X, Y, F, mask, n, noise_var, beta0, config)
+    return xb, fb, state
+
+
 @partial(jax.jit, static_argnames=("config", "eval_mse"))
 def _predict_kernel(state, Xq, Fq, config, eval_mse):
     return _predict_impl(state, Xq, Fq, config, eval_mse)
@@ -214,14 +230,25 @@ class GaussianProcess:
 
         noise_var = self.noise_var if self.estimation_mode == "noisy" else 0.0
         for attempt in range(6):
-            par, nll, state = _fit_kernel(
-                jnp.asarray(starts, self.dtype),
-                jnp.asarray(bounds[:, 0], self.dtype),
-                jnp.asarray(bounds[:, 1], self.dtype),
-                Xj, Yj, Fj, maskj, jnp.asarray(float(n), self.dtype),
-                jnp.asarray(float(noise_var), self.dtype),
-                beta0, config, self.max_iter,
-            )
+            if self.optimizer == "CMA":
+                par, nll, state = _fit_kernel_cma(
+                    jax.random.PRNGKey(int(self._rng.integers(0, 2**31 - 1))),
+                    jnp.asarray(starts, self.dtype),
+                    jnp.asarray(bounds[:, 0], self.dtype),
+                    jnp.asarray(bounds[:, 1], self.dtype),
+                    Xj, Yj, Fj, maskj, jnp.asarray(float(n), self.dtype),
+                    jnp.asarray(float(noise_var), self.dtype),
+                    beta0, config, 4 * self.max_iter,
+                )
+            else:
+                par, nll, state = _fit_kernel(
+                    jnp.asarray(starts, self.dtype),
+                    jnp.asarray(bounds[:, 0], self.dtype),
+                    jnp.asarray(bounds[:, 1], self.dtype),
+                    Xj, Yj, Fj, maskj, jnp.asarray(float(n), self.dtype),
+                    jnp.asarray(float(noise_var), self.dtype),
+                    beta0, config, self.max_iter,
+                )
             ok = bool(np.isfinite(float(nll))) and bool(
                 np.all(np.isfinite(np.asarray(state.gamma)))
             )

@@ -31,6 +31,7 @@ from ..models.likelihood import GPConfig, PosteriorState, predict, trend_basis
 from ..ops.acquisition import acquisition_fn
 from ..ops.optimize import maximize_restarts
 from .cma import run_cma
+from .mies import MIESSpec, run_mies
 
 
 def make_unit_criterion(
@@ -45,19 +46,90 @@ def make_unit_criterion(
 ) -> Callable:
     """Build crit(U[P, dim]) -> value[P]: unit cube -> embed -> fused GP
     posterior -> acquisition. Larger is better."""
-    fn = acquisition_fn(acq_name)
+    # reserved "_pca*" keys carry PCABO's out-of-box penalty parameters
+    # (ref parity: extension.py:62-86); they are not acquisition kwargs
+    pca_info = {k: v for k, v in acq_params.items() if k.startswith("_")}
+    acq_params = {k: v for k, v in acq_params.items() if not k.startswith("_")}
 
-    def crit(U: jnp.ndarray) -> jnp.ndarray:
+    def box_penalty(U: jnp.ndarray) -> jnp.ndarray:
+        """Negative total violation of the ORIGINAL box after inverse PCA."""
+        z = pca_info["_red_lo"][None, :] + U * (
+            pca_info["_red_hi"][None, :] - pca_info["_red_lo"][None, :]
+        )
+        x = z @ pca_info["_pca_C"] + pca_info["_pca_offset"][None, :]
+        viol = jnp.sum(jnp.maximum(pca_info["_box_lo"][None, :] - x, 0.0), axis=1) + jnp.sum(
+            jnp.maximum(x - pca_info["_box_hi"][None, :], 0.0), axis=1
+        )
+        return -viol
+
+    def moments(U: jnp.ndarray):
         if fixed_mask is not None:
             U = jnp.where(fixed_mask[None, :] > 0, fixed_vals[None, :], U)
         E = encoding.unit_to_embed(U)
-        Fq = trend_basis(config, E)
-        mu, var = predict(state, E, Fq, config, True)
-        mu0 = mu[:, 0]
-        sd = jnp.sqrt(jnp.maximum(var[:, 0], 0.0))
+        if isinstance(config, GPConfig):
+            Fq = trend_basis(config, E)
+            mu, var = predict(state, E, Fq, config, True)
+        else:  # RF (or any surrogate exposing an (state, X, config) predict)
+            from ..models.random_forest import rf_predict
+
+            mu, var = rf_predict(state, E, config)
+        return mu, jnp.sqrt(jnp.maximum(var, 0.0))
+
+    if acq_name == "EHVI":
+        from ..ops.ehvi import ehvi
+
+        def crit(U: jnp.ndarray) -> jnp.ndarray:
+            mu, sd = moments(U)  # (P, m) — maximization-oriented outputs
+            return ehvi(mu, sd, acq_params["cell_lower"], acq_params["cell_upper"])
+
+        return crit
+
+    if acq_name.startswith("qEHVI"):
+        # joint q-point criterion over a q-replicated space; the static q is
+        # encoded in the name (e.g. "qEHVI4") so it stays jit-static
+        from ..ops.ehvi import qehvi
+
+        q = int(acq_name[5:] or 1)
+
+        def crit(U: jnp.ndarray) -> jnp.ndarray:
+            # U: (P, q*dim) joint candidates on the replicated space; its
+            # embedding is the concatenation of q per-copy blocks
+            P = U.shape[0]
+            if fixed_mask is not None:
+                Uv = jnp.where(fixed_mask[None, :] > 0, fixed_vals[None, :], U)
+            else:
+                Uv = U
+            E = encoding.unit_to_embed(Uv).reshape(P * q, -1)
+            if isinstance(config, GPConfig):
+                mu, var = predict(state, E, trend_basis(config, E), config, True)
+            else:
+                from ..models.random_forest import rf_predict
+
+                mu, var = rf_predict(state, E, config)
+            sd = jnp.sqrt(jnp.maximum(var, 0.0))
+            mu = mu.reshape(P, q, -1)
+            sd = sd.reshape(P, q, -1)
+            return jax.vmap(
+                lambda m, s: qehvi(
+                    m, s, acq_params["cell_lower"], acq_params["cell_upper"],
+                    acq_params["key"], n_samples=64,
+                )
+            )(mu, sd)
+
+        return crit
+
+    fn = acquisition_fn(acq_name)
+
+    def crit(U: jnp.ndarray) -> jnp.ndarray:
+        mu, sd = moments(U)
+        mu0, sd0 = mu[:, 0], sd[:, 0]
         if not minimize:
             mu0 = -mu0
-        return fn(mu0, sd, **acq_params)
+        value = fn(mu0, sd0, **acq_params)
+        if pca_info:
+            pen = box_penalty(U)
+            value = jnp.where(pen < 0.0, pen, value)
+        return value
 
     return crit
 
@@ -101,6 +173,26 @@ def _cma_argmax(
     return xb, -fb
 
 
+@partial(
+    jax.jit,
+    static_argnames=("encoding", "config", "acq_name", "minimize", "spec", "n_restarts", "n_generations"),
+)
+def _mies_argmax(
+    key, state, config, encoding, acq_name, acq_params, minimize,
+    fixed_mask, fixed_vals, spec, n_restarts, n_generations,
+):
+    crit = make_unit_criterion(
+        encoding, state, config, acq_name, acq_params, minimize, fixed_mask, fixed_vals
+    )
+    xb, fb = run_mies(
+        key, lambda U: -crit(U), spec,
+        n_restarts=n_restarts, n_generations=n_generations,
+    )
+    if fixed_mask is not None:
+        xb = jnp.where(fixed_mask > 0, fixed_vals, xb)
+    return xb, -fb
+
+
 class AcquisitionArgmax:
     """Maximizes acquisition criteria over a `SpaceEncoding`'s unit cube.
 
@@ -133,6 +225,10 @@ class AcquisitionArgmax:
         self.max_FEs = budget
         self.n_generations = max(16, int(budget // self.n_chains))
         self.max_iter = 40
+        self._spec = MIESSpec.from_encoding(encoding)
+        # MIES budget: n_restart runs of (4,10)-ES; lambda evals/generation
+        self.n_mies_restarts = max(4, (n_restart or 5 * dim) // 4)
+        self.n_mies_generations = max(16, int(budget // (10 * self.n_mies_restarts)))
         self._key = jax.random.PRNGKey(seed)
 
     def _next_key(self):
@@ -162,13 +258,23 @@ class AcquisitionArgmax:
             fixed_mask = jnp.asarray(fm, dtype)
             fixed_vals = jnp.asarray(fv, dtype)
 
-        params = {k: jnp.asarray(v, dtype) for k, v in acq_params.items()}
+        # keep typed arrays (PRNG keys, cell bounds) as-is; cast Python scalars
+        params = {
+            k: v if hasattr(v, "dtype") else jnp.asarray(v, dtype)
+            for k, v in acq_params.items()
+        }
         key = self._next_key()
         if self.method == "BFGS":
             x0 = jax.random.uniform(key, (self.n_restart, dim), dtype)
             u, val = _bfgs_argmax(
                 key, state, config, self.encoding, acq_name, params, minimize,
                 x0, fixed_mask, fixed_vals, self.max_iter,
+            )
+        elif self.method == "MIES":
+            u, val = _mies_argmax(
+                key, state, config, self.encoding, acq_name, params, minimize,
+                fixed_mask, fixed_vals, self._spec,
+                self.n_mies_restarts, self.n_mies_generations,
             )
         else:
             x0 = jax.random.uniform(key, (self.n_chains, dim), dtype)

@@ -203,11 +203,15 @@ class OnePlusOne_Cholesky_CMA:
         self.xopt = None
         self.fopt = np.inf
 
-    def _penalized(self, X: np.ndarray, t: int) -> np.ndarray:
-        """Host objective + dynamic constraint penalty over a batch."""
+    def _eval_batch(self, X: np.ndarray):
+        """Host objective + raw constraint violation over a batch. Penalty
+        weighting happens per-generation with the *current* t on both parents
+        and offspring (the reference compares stale parent penalties,
+        one_plus_one_cma_es.py:304-330 — corrected here)."""
         from ..utils.penalty import eval_constraints_host
 
         vals = np.empty(len(X))
+        viol = np.zeros(len(X))
         for i, x in enumerate(X):
             y = float(self.obj_fun(x))
             if not self.minimize:
@@ -219,10 +223,10 @@ class OnePlusOne_Cholesky_CMA:
                     pen += np.sum(np.abs(hv)[np.abs(hv) > 0.01])
                 if gv is not None:
                     pen += np.sum(np.maximum(gv, 0.0) ** 2)
-                y = y + (0.5 * (t + 1)) * pen
+                viol[i] = pen
             vals[i] = y
         self.eval_count += len(X)
-        return vals
+        return vals, viol
 
     def run(self):
         P, d = self.n_chains, self.dim
@@ -232,10 +236,10 @@ class OnePlusOne_Cholesky_CMA:
         x0 = self._rng.uniform(self.lb, self.ub, (P, d))
         if self.x0 is not None:
             x0[0] = self.x0
-        f0 = self._penalized(x0, 0)
+        obj_p, viol_p = self._eval_batch(x0)
         state = init_chains(
             jax.random.PRNGKey(self.random_seed), jnp.asarray(x0, jnp.float32),
-            jnp.asarray(f0, jnp.float32), self.sigma0,
+            jnp.asarray(obj_p + 0.5 * viol_p, jnp.float32), self.sigma0,
         )
         step = jax.jit(lambda st, x_new, f_new: _host_generation(st, x_new, f_new, consts, lo, hi))
         propose = jax.jit(lambda st: _host_propose(st, lo, hi))
@@ -245,8 +249,15 @@ class OnePlusOne_Cholesky_CMA:
         for gen in range(max_gens):
             self.iter_count = gen
             st_mid, x_new = propose(state)
-            f_new = self._penalized(np.asarray(x_new, dtype=float), gen)
-            state = step(st_mid, x_new, jnp.asarray(f_new, jnp.float32))
+            obj_n, viol_n = self._eval_batch(np.asarray(x_new, dtype=float))
+            # dynamic penalty with the CURRENT weight on both sides
+            w = 0.5 * (gen + 1)
+            f_parent = jnp.asarray(obj_p + w * viol_p, jnp.float32)
+            f_new = jnp.asarray(obj_n + w * viol_n, jnp.float32)
+            accepted = np.asarray(f_new <= np.asarray(f_parent))
+            state = step(st_mid._replace(f=f_parent), x_new, f_new)
+            obj_p = np.where(accepted, obj_n, obj_p)
+            viol_p = np.where(accepted, viol_n, viol_p)
             fbest = float(jnp.min(state.f))
             f_hist.append(fbest)
             if self.ftarget is not None and fbest <= (self.ftarget if self.minimize else -self.ftarget):
@@ -255,9 +266,11 @@ class OnePlusOne_Cholesky_CMA:
                 break
             if self.eval_count >= self.max_FEs:
                 break
-        best = int(jnp.argmin(state.f))
+        # champion: feasible-first ranking
+        feas_rank = np.where(viol_p > 1e-9, viol_p * 1e6, 0.0) + obj_p
+        best = int(np.argmin(feas_rank))
         self.xopt = np.asarray(state.x[best], dtype=float)
-        self.fopt = float(state.f[best]) * (1.0 if self.minimize else -1.0)
+        self.fopt = float(obj_p[best]) * (1.0 if self.minimize else -1.0)
         self.stop_dict = {"FEs": self.eval_count}
         return self.xopt, self.fopt, self.stop_dict
 

@@ -1,0 +1,248 @@
+"""BBOB noiseless test functions (subset) + instance transformations.
+
+Capability analog of the reference's vendored COCO code
+(ref: benchmark/bbobbenchmarks.py, 2391 LoC) implemented from the BBOB
+function definitions (Hansen et al., "Real-Parameter Black-Box Optimization
+Benchmarking: Noiseless Functions Definitions") — not a translation of the
+COCO sources. Provides the functions the parity benchmarks pin
+(sphere F1, separable/rotated ellipsoid F2/F10, Rastrigin F3/F15,
+linear slope F5, attractive sector F6, step ellipsoid F7, Rosenbrock F8,
+discus F11, bent cigar F12, sum of different powers F14, Schaffers F17,
+Griewank-Rosenbrock F19, Schwefel F20, Katsuura F23) with the standard
+instance machinery: seeded x_opt/f_opt shifts, rotation matrices R and Q,
+T_osz / T_asy nonlinear transforms and Lambda^alpha conditioning.
+
+Functions evaluate batched: f(X: (N, dim)) -> (N,), in numpy (host side —
+objectives are the "user black box" in benchmarks).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+
+def _rng(fid: int, instance: int, dim: int, salt: int = 0) -> np.random.Generator:
+    return np.random.default_rng(1000003 * fid + 101 * instance + dim + 7919 * salt)
+
+
+def _rotation(fid: int, instance: int, dim: int, salt: int) -> np.ndarray:
+    """Random orthogonal matrix via QR of a Gaussian matrix."""
+    g = _rng(fid, instance, dim, salt)
+    A = g.standard_normal((dim, dim))
+    Q, R = np.linalg.qr(A)
+    return Q * np.sign(np.diag(R))
+
+
+def _x_opt(fid: int, instance: int, dim: int) -> np.ndarray:
+    return _rng(fid, instance, dim, 1).uniform(-4, 4, dim)
+
+
+def _f_opt(fid: int, instance: int) -> float:
+    g = _rng(fid, instance, 1, 2)
+    v = np.round(100.0 * g.standard_cauchy() / 10.0, 2)
+    return float(np.clip(v, -1000, 1000))
+
+
+def _t_osz(x: np.ndarray) -> np.ndarray:
+    """Oscillation transform T_osz (BBOB definitions, eq. for x_hat)."""
+    xhat = np.where(x != 0, np.log(np.abs(x) + 1e-300), 0.0)
+    c1 = np.where(x > 0, 10.0, 5.5)
+    c2 = np.where(x > 0, 7.9, 3.1)
+    return np.sign(x) * np.exp(xhat + 0.049 * (np.sin(c1 * xhat) + np.sin(c2 * xhat)))
+
+
+def _t_asy(x: np.ndarray, beta: float) -> np.ndarray:
+    dim = x.shape[-1]
+    idx = np.arange(dim) / max(dim - 1, 1)
+    expo = 1.0 + beta * idx[None, :] * np.sqrt(np.maximum(x, 0.0))
+    return np.where(x > 0, np.maximum(x, 0.0) ** expo, x)
+
+
+def _lam(alpha: float, dim: int) -> np.ndarray:
+    idx = np.arange(dim) / max(dim - 1, 1)
+    return alpha ** (0.5 * idx)
+
+
+def _pen(x: np.ndarray) -> np.ndarray:
+    return np.sum(np.maximum(np.abs(x) - 5.0, 0.0) ** 2, axis=-1)
+
+
+class BBOBFunction:
+    """One (fid, instance, dim) problem; callable on batches or single x."""
+
+    def __init__(self, fid: int, dim: int, instance: int = 1):
+        if fid not in _CORES:
+            raise ValueError(f"F{fid} not implemented; available: {sorted(_CORES)}")
+        self.fid, self.dim, self.instance = fid, dim, instance
+        self.x_opt = _x_opt(fid, instance, dim)
+        self.f_opt = _f_opt(fid, instance)
+        self.R = _rotation(fid, instance, dim, 3)
+        self.Q = _rotation(fid, instance, dim, 4)
+        if fid == 5:  # linear slope: optimum at a corner
+            self.x_opt = 5.0 * np.sign(self.x_opt + 1e-12)
+        elif fid == 19:  # Griewank-Rosenbrock: optimum where z = 1
+            c = max(1.0, np.sqrt(dim) / 8.0)
+            self.x_opt = self.R.T @ (np.full(dim, 0.5) / c)
+        elif fid == 20:  # Schwefel: optimum at the signed magic point
+            g = _rng(fid, instance, dim, 5)
+            ones = np.where(g.random(dim) > 0.5, 1.0, -1.0)
+            self.x_opt = 4.2096874633 / 2.0 * ones
+        self._core = _CORES[fid]
+
+    def __call__(self, X) -> np.ndarray:
+        X = np.asarray(X, dtype=float)
+        single = X.ndim == 1
+        X = np.atleast_2d(X)
+        out = self._core(self, X) + self.f_opt
+        return float(out[0]) if single else out
+
+    def evaluate(self, X):
+        return self.__call__(X)
+
+
+# ---------------------------------------------------------------------------
+# core functions: f(problem, X(N, d)) -> (N,) raw values (f_opt added later)
+# ---------------------------------------------------------------------------
+def _f1_sphere(p, X):
+    z = X - p.x_opt
+    return np.sum(z**2, axis=-1)
+
+
+def _f2_ellipsoid(p, X):
+    z = _t_osz(X - p.x_opt)
+    d = p.dim
+    w = 10.0 ** (6.0 * np.arange(d) / max(d - 1, 1))
+    return np.sum(w * z**2, axis=-1)
+
+
+def _f3_rastrigin(p, X):
+    z = _t_asy(_t_osz(X - p.x_opt), 0.2) * _lam(10.0, p.dim)
+    return 10.0 * (p.dim - np.sum(np.cos(2 * np.pi * z), axis=-1)) + np.sum(z**2, axis=-1)
+
+
+def _f5_linear_slope(p, X):
+    d = p.dim
+    s = np.sign(p.x_opt) * _lam(100.0, d) ** 2  # 10^(i/(d-1)) squared = 100^...
+    z = np.where(X * p.x_opt < 25.0, X, p.x_opt)
+    return np.sum(5.0 * np.abs(s) - s * z, axis=-1)
+
+
+def _f6_attractive_sector(p, X):
+    # z = Q Lambda^10 R (x - x_opt)
+    z = ((X - p.x_opt) @ p.R.T) * _lam(10.0, p.dim)
+    z = z @ p.Q.T
+    s = np.where(z * p.x_opt > 0, 100.0, 1.0)
+    return _t_osz(np.sum((s * z) ** 2, axis=-1, keepdims=True))[:, 0] ** 0.9
+
+
+def _f7_step_ellipsoid(p, X):
+    d = p.dim
+    zhat = ((X - p.x_opt) @ p.R.T) * _lam(10.0, d)
+    ztilde = np.where(np.abs(zhat) > 0.5, np.round(zhat), np.round(10 * zhat) / 10.0)
+    z = ztilde @ p.Q.T
+    w = 10.0 ** (2.0 * np.arange(d) / max(d - 1, 1))
+    val = 0.1 * np.maximum(np.abs(zhat[:, 0]) / 1e4, np.sum(w * z**2, axis=-1))
+    return val + _pen(X)
+
+
+def _f8_rosenbrock(p, X):
+    d = p.dim
+    z = np.maximum(1.0, np.sqrt(d) / 8.0) * (X - p.x_opt) + 1.0
+    return np.sum(100.0 * (z[:, :-1] ** 2 - z[:, 1:]) ** 2 + (z[:, :-1] - 1.0) ** 2, axis=-1)
+
+
+def _f10_rotated_ellipsoid(p, X):
+    z = _t_osz((X - p.x_opt) @ p.R.T)
+    d = p.dim
+    w = 10.0 ** (6.0 * np.arange(d) / max(d - 1, 1))
+    return np.sum(w * z**2, axis=-1)
+
+
+def _f11_discus(p, X):
+    z = _t_osz((X - p.x_opt) @ p.R.T)
+    return 1e6 * z[:, 0] ** 2 + np.sum(z[:, 1:] ** 2, axis=-1)
+
+
+def _f12_bent_cigar(p, X):
+    z = _t_asy((X - p.x_opt) @ p.R.T, 0.5) @ p.R.T
+    return z[:, 0] ** 2 + 1e6 * np.sum(z[:, 1:] ** 2, axis=-1)
+
+
+def _f14_diff_powers(p, X):
+    z = (X - p.x_opt) @ p.R.T
+    d = p.dim
+    expo = 2.0 + 4.0 * np.arange(d) / max(d - 1, 1)
+    return np.sqrt(np.sum(np.abs(z) ** expo, axis=-1))
+
+
+def _f15_rotated_rastrigin(p, X):
+    z = _t_asy(_t_osz((X - p.x_opt) @ p.R.T), 0.2) @ p.Q.T * _lam(10.0, p.dim)
+    z = z @ p.R.T
+    return 10.0 * (p.dim - np.sum(np.cos(2 * np.pi * z), axis=-1)) + np.sum(z**2, axis=-1)
+
+
+def _f17_schaffers(p, X):
+    z = _t_asy((X - p.x_opt) @ p.R.T, 0.5) @ p.Q.T * _lam(10.0, p.dim)
+    s = np.sqrt(z[:, :-1] ** 2 + z[:, 1:] ** 2)
+    val = np.mean(np.sqrt(s) + np.sqrt(s) * np.sin(50.0 * s**0.2) ** 2, axis=-1) ** 2
+    return val + 10.0 * _pen(X)
+
+
+def _f19_griewank_rosenbrock(p, X):
+    d = p.dim
+    z = np.maximum(1.0, np.sqrt(d) / 8.0) * (X @ p.R.T) + 0.5
+    s = 100.0 * (z[:, :-1] ** 2 - z[:, 1:]) ** 2 + (z[:, :-1] - 1.0) ** 2
+    return 10.0 / (d - 1) * np.sum(s / 4000.0 - np.cos(s), axis=-1) + 10.0
+
+
+def _f20_schwefel(p, X):
+    d = p.dim
+    g = _rng(p.fid, p.instance, d, 5)
+    ones = np.where(g.random(d) > 0.5, 1.0, -1.0)
+    x_opt = 4.2096874633 / 2.0 * ones
+    xhat = 2.0 * ones * X
+    zhat = np.empty_like(xhat)
+    zhat[:, 0] = xhat[:, 0]
+    zhat[:, 1:] = xhat[:, 1:] + 0.25 * (xhat[:, :-1] - 2.0 * np.abs(x_opt[:-1]))
+    z = 100.0 * (_lam(10.0, d) * (zhat - 2.0 * np.abs(x_opt)) + 2.0 * np.abs(x_opt))
+    val = -np.sum(z * np.sin(np.sqrt(np.abs(z))), axis=-1) / (100.0 * d) + 4.189828872724339
+    return val + 100.0 * _pen(z / 100.0)
+
+
+def _f23_katsuura(p, X):
+    d = p.dim
+    z = ((X - p.x_opt) @ p.R.T) * _lam(100.0, d)
+    z = z @ p.Q.T
+    j = 2.0 ** np.arange(1, 33)
+    term = np.abs(j[None, None, :] * z[:, :, None] - np.round(j[None, None, :] * z[:, :, None])) / j
+    prod = np.prod(1.0 + (np.arange(1, d + 1)[None, :]) * np.sum(term, axis=-1), axis=-1)
+    return 10.0 / d**2 * prod ** (10.0 / d**1.2) - 10.0 / d**2 + _pen(X)
+
+
+_CORES: Dict[int, Callable] = {
+    1: _f1_sphere,
+    2: _f2_ellipsoid,
+    3: _f3_rastrigin,
+    5: _f5_linear_slope,
+    6: _f6_attractive_sector,
+    7: _f7_step_ellipsoid,
+    8: _f8_rosenbrock,
+    10: _f10_rotated_ellipsoid,
+    11: _f11_discus,
+    12: _f12_bent_cigar,
+    14: _f14_diff_powers,
+    15: _f15_rotated_rastrigin,
+    17: _f17_schaffers,
+    19: _f19_griewank_rosenbrock,
+    20: _f20_schwefel,
+    23: _f23_katsuura,
+}
+
+AVAILABLE_FIDS = sorted(_CORES)
+
+
+def instantiate(fid: int, dim: int, instance: int = 1) -> Tuple[BBOBFunction, float]:
+    """(function, f_target) like the reference harness's `instantiate`."""
+    fn = BBOBFunction(fid, dim, instance)
+    return fn, fn.f_opt

@@ -1,0 +1,170 @@
+"""Multi-objective stack: pareto masks, hypervolume goldens, box
+decomposition exactness, EHVI goldens, MOBO loops (ref coverage:
+unittest/test_mobo.py + numeric goldens the reference lacks)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesian_optimization_tpu import RealSpace, RecommendationUnavailableError
+from bayesian_optimization_tpu.core.mobo import MOBO, MOBO_qEHVI
+from bayesian_optimization_tpu.ops.box_decomposition import NondominatedPartitioning
+from bayesian_optimization_tpu.ops.ehvi import ehvi, qehvi
+from bayesian_optimization_tpu.ops.hypervolume import Hypervolume, hypervolume
+from bayesian_optimization_tpu.ops.pareto import fast_non_dominated_sort, is_non_dominated
+
+
+def test_is_non_dominated():
+    Y = np.array([[1.0, 0.0], [0.0, 1.0], [0.5, 0.5], [0.4, 0.4], [1.0, 0.0]])
+    mask = np.asarray(is_non_dominated(Y))
+    assert mask.tolist() == [True, True, True, False, False]  # duplicate dropped
+
+
+def test_fast_non_dominated_sort():
+    Y = np.array([[2.0, 2.0], [1.0, 1.0], [0.0, 0.0], [2.0, 0.0]])
+    rank = fast_non_dominated_sort(Y)
+    assert rank[0] == 0 and rank[2] == 2
+    assert rank[1] == 1 and rank[3] == 1
+
+
+def test_hypervolume_2d_golden():
+    Y = np.array([[1.0, 2.0], [2.0, 1.0]])
+    # ref (0,0): union of two rectangles = 1*2 + 2*1 - 1*1 = 3
+    assert hypervolume(Y, [0.0, 0.0]) == pytest.approx(3.0)
+
+
+def test_hypervolume_3d_golden():
+    Y = np.array([[1.0, 1.0, 1.0]])
+    assert hypervolume(Y, [0.0, 0.0, 0.0]) == pytest.approx(1.0)
+    Y2 = np.array([[1.0, 1.0, 1.0], [2.0, 0.5, 0.5]])
+    # union = 1 + (2*0.5*0.5 - 1*0.5*0.5) = 1.25
+    assert hypervolume(Y2, [0.0, 0.0, 0.0]) == pytest.approx(1.25)
+
+
+def test_hypervolume_point_below_ref_ignored():
+    Y = np.array([[1.0, 1.0], [-1.0, -1.0]])
+    assert hypervolume(Y, [0.0, 0.0]) == pytest.approx(1.0)
+
+
+def test_partitioning_covers_complement():
+    """Non-dominated cells + dominated hypervolume = total box volume."""
+    rng = np.random.default_rng(0)
+    Y = rng.uniform(0.2, 1.0, (6, 2))
+    ref = np.zeros(2)
+    part = NondominatedPartitioning(ref, Y)
+    # cap the +inf cells at a box [ref, B] and check volumes add up
+    B = 2.0
+    lo, hi = part.cell_lower, np.minimum(part.cell_upper, B)
+    vol_nd = np.sum(np.prod(np.maximum(hi - lo, 0), axis=1))
+    hv = hypervolume(Y, ref)
+    assert vol_nd + hv == pytest.approx(B**2, rel=1e-6)
+
+
+def test_partitioning_3d_complement():
+    rng = np.random.default_rng(1)
+    Y = rng.uniform(0.2, 1.0, (5, 3))
+    ref = np.zeros(3)
+    part = NondominatedPartitioning(ref, Y)
+    B = 1.5
+    lo, hi = part.cell_lower, np.minimum(part.cell_upper, B)
+    vol_nd = np.sum(np.prod(np.maximum(hi - lo, 0), axis=1))
+    assert vol_nd + hypervolume(Y, ref) == pytest.approx(B**3, rel=1e-5)
+
+
+def test_ehvi_matches_mc():
+    """EHVI closed form vs brute-force Monte Carlo."""
+    P = np.array([[0.6, 0.3], [0.3, 0.6]])
+    ref = np.zeros(2)
+    part = NondominatedPartitioning(ref, P)
+    mu = np.array([[0.55, 0.55]])
+    sd = np.array([[0.15, 0.2]])
+    val = float(
+        ehvi(jnp.asarray(mu, jnp.float32), jnp.asarray(sd, jnp.float32),
+             jnp.asarray(part.cell_lower, jnp.float32), jnp.asarray(part.cell_upper, jnp.float32))[0]
+    )
+    rng = np.random.default_rng(2)
+    hv0 = hypervolume(P, ref)
+    samples = mu + sd * rng.standard_normal((20000, 2))
+    hvi = [hypervolume(np.vstack([P, s]), ref) - hv0 for s in samples]
+    mc = float(np.mean(hvi))
+    assert val == pytest.approx(mc, rel=0.05), (val, mc)
+
+
+def test_qehvi_q1_close_to_ehvi():
+    P = np.array([[0.6, 0.3], [0.3, 0.6]])
+    part = NondominatedPartitioning(np.zeros(2), P)
+    mu = jnp.asarray([[0.55, 0.55]], jnp.float32)
+    sd = jnp.asarray([[0.15, 0.2]], jnp.float32)
+    lo = jnp.asarray(part.cell_lower, jnp.float32)
+    hi = jnp.asarray(part.cell_upper, jnp.float32)
+    exact = float(ehvi(mu, sd, lo, hi)[0])
+    mc = float(qehvi(mu, sd, lo, hi, jax.random.PRNGKey(0), n_samples=4096))
+    assert mc == pytest.approx(exact, rel=0.1), (mc, exact)
+
+
+def _schaffer(x):
+    x = float(np.asarray(x, dtype=float).ravel()[0])
+    return x**2
+
+
+def _schaffer2(x):
+    x = float(np.asarray(x, dtype=float).ravel()[0])
+    return (x - 2.0) ** 2
+
+
+def test_mobo_runs_and_improves_hv():
+    space = RealSpace([-2, 4], var_name="x", random_seed=0)
+    opt = MOBO(
+        search_space=space, obj_fun=[_schaffer, _schaffer2], n_obj=2,
+        DoE_size=6, max_FEs=24, random_seed=0,
+    )
+    opt.run()
+    assert opt.data.N >= 10
+    front = opt.xopt
+    assert front.N >= 2
+    # pareto solutions of schaffer lie in [0, 2]
+    xs = np.asarray([row[0] for row in front.tolist()], dtype=float)
+    assert np.all(xs > -1.2) and np.all(xs < 3.2)
+
+
+def test_mobo_q_gt_1_raises():
+    space = RealSpace([-2, 4], random_seed=0)
+    opt = MOBO(search_space=space, obj_fun=[_schaffer, _schaffer2], n_obj=2,
+               DoE_size=5, max_FEs=30, n_point=2, random_seed=0)
+    X = opt.ask(5)  # DoE fine
+    opt.tell(X, opt.evaluate(X))
+    with pytest.raises(NotImplementedError):
+        opt.ask(2)
+
+
+def test_mobo_recommend_before_data():
+    space = RealSpace([-2, 4], random_seed=0)
+    opt = MOBO(search_space=space, obj_fun=[_schaffer, _schaffer2], n_obj=2, DoE_size=5, max_FEs=30)
+    with pytest.raises(RecommendationUnavailableError):
+        opt.recommend()
+
+
+def test_mobo_qehvi_batch():
+    space = RealSpace([-2, 4], var_name="x", random_seed=0)
+    opt = MOBO_qEHVI(
+        search_space=space, obj_fun=[_schaffer, _schaffer2], n_obj=2,
+        DoE_size=6, max_FEs=20, n_point=2, random_seed=0,
+    )
+    X = opt.ask(6)
+    opt.tell(X, opt.evaluate(X))
+    X2 = opt.ask()  # joint q=2 proposal
+    assert len(X2) == 2
+    opt.tell(X2, opt.evaluate(X2))
+    assert opt.data.N == 8
+
+
+def test_mobo_3_objectives():
+    fns = [
+        lambda x: float(x[0]) ** 2 + float(x[1]) ** 2,
+        lambda x: (float(x[0]) - 1) ** 2 + float(x[1]) ** 2,
+        lambda x: float(x[0]) ** 2 + (float(x[1]) - 1) ** 2,
+    ]
+    space = RealSpace([[-1, 2]] * 2, random_seed=0)
+    opt = MOBO(search_space=space, obj_fun=fns, n_obj=3, DoE_size=8, max_FEs=33, random_seed=0)
+    opt.run()
+    assert opt.xopt.N >= 3
