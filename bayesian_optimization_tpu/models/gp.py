@@ -37,8 +37,15 @@ from .likelihood import (
     n_hyper_params,
     neg_log_likelihood,
     posterior_state,
-    predict as _predict_impl,
+    predict as _predict_point,
+    predict_ensemble as _predict_ens,
 )
+
+
+def _predict_impl(state, Xq, Fq, config, eval_mse=True):
+    if config.n_ensemble > 0:
+        return _predict_ens(state, Xq, Fq, config, eval_mse)
+    return _predict_point(state, Xq, Fq, config, eval_mse)
 from .trend import BasisExpansionTrend, NonparametricTrend, constant_trend
 
 
@@ -56,6 +63,29 @@ def _fit_kernel(x0_batch, lo, hi, X, Y, F, mask, n, noise_var, beta0, config, ma
     res = minimize_restarts(nll, x0_batch, lo, hi, max_iter=max_iter)
     state = posterior_state(res.x_best, X, Y, F, mask, n, noise_var, beta0, config)
     return res.x_best, res.fun_best, state
+
+
+@partial(jax.jit, static_argnames=("config", "n_ensemble", "n_warmup"))
+def _fit_kernel_hmc(key, x0_batch, lo, hi, X, Y, F, mask, n, noise_var, beta0, config, n_ensemble, n_warmup):
+    """Posterior over hyperparameters by vectorized adaptive HMC (north
+    star): chains = rows of x0_batch; returns a stacked PosteriorState of
+    n_ensemble samples plus the chain acceptance rate."""
+    from .hmc import hmc_sample
+
+    logp = lambda p: -neg_log_likelihood(p, X, Y, F, mask, n, noise_var, beta0, config)
+    C = x0_batch.shape[0]
+    per_chain = max(1, -(-n_ensemble // C))
+    res = hmc_sample(
+        key, logp, x0_batch, lo, hi,
+        n_warmup=n_warmup, n_samples=per_chain, n_leapfrog=12, thin=2,
+    )
+    pars = res.samples.reshape(-1, x0_batch.shape[1])[:n_ensemble]  # (S, d)
+    point_cfg = config._replace(n_ensemble=0)
+    states = jax.vmap(
+        lambda p: posterior_state(p, X, Y, F, mask, n, noise_var, beta0, point_cfg)
+    )(pars)
+    mean_logp = jnp.mean(jax.vmap(logp)(pars))
+    return pars, -mean_logp, states, res.accept_rate
 
 
 @partial(jax.jit, static_argnames=("config", "n_generations"))
@@ -230,7 +260,22 @@ class GaussianProcess:
 
         noise_var = self.noise_var if self.estimation_mode == "noisy" else 0.0
         for attempt in range(6):
-            if self.optimizer == "CMA":
+            if self.optimizer in ("HMC", "NUTS"):
+                S = int(getattr(self, "n_ensemble", 16))
+                par_s, nll, state, acc = _fit_kernel_hmc(
+                    jax.random.PRNGKey(int(self._rng.integers(0, 2**31 - 1))),
+                    jnp.asarray(starts[: max(4, min(R, 8))], self.dtype),
+                    jnp.asarray(bounds[:, 0], self.dtype),
+                    jnp.asarray(bounds[:, 1], self.dtype),
+                    Xj, Yj, Fj, maskj, jnp.asarray(float(n), self.dtype),
+                    jnp.asarray(float(noise_var), self.dtype),
+                    beta0, config, S, getattr(self, "hmc_warmup", 150),
+                )
+                self.accept_rate_ = np.asarray(acc, dtype=float)
+                self.theta_samples_ = np.asarray(10.0 ** np.asarray(par_s)[:, :dim])
+                par = jnp.median(par_s, axis=0)
+                config = config._replace(n_ensemble=S)
+            elif self.optimizer == "CMA":
                 par, nll, state = _fit_kernel_cma(
                     jax.random.PRNGKey(int(self._rng.integers(0, 2**31 - 1))),
                     jnp.asarray(starts, self.dtype),
@@ -271,7 +316,11 @@ class GaussianProcess:
         self.theta_ = np.asarray(10.0 ** np.asarray(par)[:dim], dtype=float)
         self.log_likelihood_ = -float(nll)
         self.sigma2 = np.asarray(state.sigma2, dtype=float)
-        if isinstance(self.mean, BasisExpansionTrend) and self.mean.estimate_coefficients:
+        if (
+            config.n_ensemble == 0
+            and isinstance(self.mean, BasisExpansionTrend)
+            and self.mean.estimate_coefficients
+        ):
             self.mean.beta = state.beta
         self.is_fitted = True
         self._n = n

@@ -46,6 +46,8 @@ class GPConfig(NamedTuple):
     n_basis: int = 1
     trend: str = "constant"  # 'constant' | 'linear' | 'quadratic' | 'custom'
     jitter: float = 1e-6
+    n_ensemble: int = 0  # >0: PosteriorState carries a leading sample axis
+                         # (HMC/VI posterior over hyperparameters)
 
 
 def trend_basis(config: "GPConfig", X: jnp.ndarray) -> jnp.ndarray:
@@ -274,3 +276,16 @@ def predict(
     base = 1.0 - state.scale[None, :] * reduction[:, None] + correction[:, None]
     mse = jnp.maximum(base * state.sigma2[None, :], 0.0)
     return mu, mse
+
+
+def predict_ensemble(state: PosteriorState, Xq, Fq, config: GPConfig, eval_mse: bool = True):
+    """Posterior-mixture prediction for a stacked PosteriorState with a
+    leading sample axis (hyperparameter posterior from HMC/VI): the mixture
+    mean and the law-of-total-variance mixture variance."""
+    point_cfg = config._replace(n_ensemble=0)
+    mus, vars_ = jax.vmap(lambda st: predict(st, Xq, Fq, point_cfg, True))(state)
+    mu = jnp.mean(mus, axis=0)
+    if not eval_mse:
+        return mu, None
+    var = jnp.mean(vars_ + mus**2, axis=0) - mu**2
+    return mu, jnp.maximum(var, 0.0)

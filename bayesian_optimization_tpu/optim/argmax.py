@@ -27,7 +27,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.likelihood import GPConfig, PosteriorState, predict, trend_basis
+from ..models.likelihood import (
+    GPConfig, PosteriorState, predict as _gp_point_predict, predict_ensemble, trend_basis,
+)
+
+
+def predict(state, Xq, Fq, config, eval_mse=True):
+    """GP predict dispatch: point posterior or hyperparameter-ensemble mixture."""
+    if isinstance(config, GPConfig) and config.n_ensemble > 0:
+        return predict_ensemble(state, Xq, Fq, config, eval_mse)
+    return _gp_point_predict(state, Xq, Fq, config, eval_mse)
 from ..ops.acquisition import acquisition_fn
 from ..ops.optimize import maximize_restarts
 from .cma import run_cma
