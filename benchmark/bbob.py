@@ -88,6 +88,11 @@ class BBOBFunction:
             g = _rng(fid, instance, dim, 5)
             ones = np.where(g.random(dim) > 0.5, 1.0, -1.0)
             self.x_opt = 4.2096874633 / 2.0 * ones
+        elif fid == 9:  # rotated Rosenbrock: optimum where z = 1
+            c = max(1.0, np.sqrt(dim) / 8.0)
+            self.x_opt = self.R.T @ (np.full(dim, 0.5) / c)
+        elif fid == 24:  # Lunacek: optimum at mu0/2 * 1(+/-)
+            self.x_opt = np.sign(self.x_opt + 1e-12) * 2.5 / 2.0
         self._core = _CORES[fid]
 
     def __call__(self, X) -> np.ndarray:
@@ -121,6 +126,17 @@ def _f3_rastrigin(p, X):
     return 10.0 * (p.dim - np.sum(np.cos(2 * np.pi * z), axis=-1)) + np.sum(z**2, axis=-1)
 
 
+def _f4_buche_rastrigin(p, X):
+    d = p.dim
+    z = _t_osz(X - p.x_opt)
+    idx = np.arange(d)
+    s = 10.0 ** (0.5 * idx / max(d - 1, 1))
+    # odd dimensions (1-based) with positive z get a x10 boost
+    boost = np.where((idx % 2 == 0)[None, :] & (z > 0), 10.0, 1.0)
+    z = z * s[None, :] * boost
+    return 10.0 * (d - np.sum(np.cos(2 * np.pi * z), axis=-1)) + np.sum(z**2, axis=-1) + 100.0 * _pen(X)
+
+
 def _f5_linear_slope(p, X):
     d = p.dim
     s = np.sign(p.x_opt) * _lam(100.0, d) ** 2  # 10^(i/(d-1)) squared = 100^...
@@ -152,6 +168,13 @@ def _f8_rosenbrock(p, X):
     return np.sum(100.0 * (z[:, :-1] ** 2 - z[:, 1:]) ** 2 + (z[:, :-1] - 1.0) ** 2, axis=-1)
 
 
+def _f9_rotated_rosenbrock(p, X):
+    d = p.dim
+    c = max(1.0, np.sqrt(d) / 8.0)
+    z = c * (X @ p.R.T) + 0.5
+    return np.sum(100.0 * (z[:, :-1] ** 2 - z[:, 1:]) ** 2 + (z[:, :-1] - 1.0) ** 2, axis=-1)
+
+
 def _f10_rotated_ellipsoid(p, X):
     z = _t_osz((X - p.x_opt) @ p.R.T)
     d = p.dim
@@ -167,6 +190,11 @@ def _f11_discus(p, X):
 def _f12_bent_cigar(p, X):
     z = _t_asy((X - p.x_opt) @ p.R.T, 0.5) @ p.R.T
     return z[:, 0] ** 2 + 1e6 * np.sum(z[:, 1:] ** 2, axis=-1)
+
+
+def _f13_sharp_ridge(p, X):
+    z = (((X - p.x_opt) @ p.R.T) * _lam(10.0, p.dim)) @ p.Q.T
+    return z[:, 0] ** 2 + 100.0 * np.sqrt(np.sum(z[:, 1:] ** 2, axis=-1))
 
 
 def _f14_diff_powers(p, X):
@@ -187,6 +215,74 @@ def _f17_schaffers(p, X):
     s = np.sqrt(z[:, :-1] ** 2 + z[:, 1:] ** 2)
     val = np.mean(np.sqrt(s) + np.sqrt(s) * np.sin(50.0 * s**0.2) ** 2, axis=-1) ** 2
     return val + 10.0 * _pen(X)
+
+
+def _f16_weierstrass(p, X):
+    d = p.dim
+    z = (_t_osz((X - p.x_opt) @ p.R.T) @ p.Q.T * _lam(0.01, d)) @ p.R.T
+    k = np.arange(12)
+    halfk = 0.5**k
+    threek = 3.0**k
+    f0 = np.sum(halfk * np.cos(np.pi * threek))
+    inner = np.sum(
+        halfk[None, None, :] * np.cos(2 * np.pi * threek[None, None, :] * (z[:, :, None] + 0.5)),
+        axis=-1,
+    )
+    val = 10.0 * (np.mean(inner, axis=-1) - f0) ** 3
+    return val + 10.0 / d * _pen(X)
+
+
+def _f18_schaffers_ill(p, X):
+    z = _t_asy((X - p.x_opt) @ p.R.T, 0.5) @ p.Q.T * _lam(1000.0, p.dim)
+    s = np.sqrt(z[:, :-1] ** 2 + z[:, 1:] ** 2)
+    val = np.mean(np.sqrt(s) + np.sqrt(s) * np.sin(50.0 * s**0.2) ** 2, axis=-1) ** 2
+    return val + 10.0 * _pen(X)
+
+
+def _gallagher(p, X, n_peaks: int):
+    d = p.dim
+    g = _rng(p.fid, p.instance, d, 6)
+    # peak locations: strongest at x_opt, the rest uniform in [-4.9, 4.9]
+    Ys = g.uniform(-4.9, 4.9, (n_peaks, d))
+    Ys[0] = p.x_opt
+    # conditioning alphas per peak
+    if n_peaks == 101:
+        alphas = 1000.0 ** (2.0 * np.arange(n_peaks - 1) / max(n_peaks - 2, 1))
+    else:
+        alphas = 1000.0 ** (2.0 * np.arange(n_peaks - 1) / max(n_peaks - 2, 1))
+    g.shuffle(alphas)
+    alphas = np.concatenate([[1000.0], alphas])
+    w = np.concatenate([[10.0], 1.1 + 8.0 * np.arange(1, n_peaks) / max(n_peaks - 1, 1)])
+    # C_i = Lambda^{alpha_i} / alpha_i^{1/4} (diagonal), rotated by R
+    diffs = (X[:, None, :] - Ys[None, :, :]) @ p.R.T  # (N, P, d)
+    idx = np.arange(d) / max(d - 1, 1)
+    lam = alphas[:, None] ** (0.5 * idx[None, :]) / alphas[:, None] ** 0.25  # (P, d)
+    quad = np.sum(diffs**2 * lam[None, :, :], axis=-1)  # (N, P)
+    vals = w[None, :] * np.exp(-quad / (2.0 * d))
+    best = np.max(vals, axis=-1)
+    return _t_osz(np.atleast_2d(10.0 - best))[0] ** 2 + _pen(X)
+
+
+def _f21_gallagher101(p, X):
+    return _gallagher(p, X, 101)
+
+
+def _f22_gallagher21(p, X):
+    return _gallagher(p, X, 21)
+
+
+def _f24_lunacek(p, X):
+    d = p.dim
+    mu0 = 2.5
+    s = 1.0 - 1.0 / (2.0 * np.sqrt(d + 20.0) - 8.2)
+    mu1 = -np.sqrt((mu0**2 - 1.0) / s)
+    ones = np.sign(p.x_opt + 1e-12)
+    xhat = 2.0 * ones[None, :] * X
+    z = ((xhat - mu0) @ p.R.T * _lam(100.0, d)) @ p.Q.T
+    term1 = np.sum((xhat - mu0) ** 2, axis=-1)
+    term2 = d + s * np.sum((xhat - mu1) ** 2, axis=-1)
+    rast = 10.0 * (d - np.sum(np.cos(2 * np.pi * z), axis=-1))
+    return np.minimum(term1, term2) + rast + 1e4 * _pen(X)
 
 
 def _f19_griewank_rosenbrock(p, X):
@@ -224,19 +320,27 @@ _CORES: Dict[int, Callable] = {
     1: _f1_sphere,
     2: _f2_ellipsoid,
     3: _f3_rastrigin,
+    4: _f4_buche_rastrigin,
     5: _f5_linear_slope,
     6: _f6_attractive_sector,
     7: _f7_step_ellipsoid,
     8: _f8_rosenbrock,
+    9: _f9_rotated_rosenbrock,
     10: _f10_rotated_ellipsoid,
     11: _f11_discus,
     12: _f12_bent_cigar,
+    13: _f13_sharp_ridge,
     14: _f14_diff_powers,
     15: _f15_rotated_rastrigin,
+    16: _f16_weierstrass,
     17: _f17_schaffers,
+    18: _f18_schaffers_ill,
     19: _f19_griewank_rosenbrock,
     20: _f20_schwefel,
+    21: _f21_gallagher101,
+    22: _f22_gallagher21,
     23: _f23_katsuura,
+    24: _f24_lunacek,
 }
 
 AVAILABLE_FIDS = sorted(_CORES)
