@@ -183,8 +183,12 @@ class BaseBO(BaseOptimizer):
         acquisition_optimization: Optional[dict] = None,
         eval_type: str = "list",
         data_file: Optional[str] = None,
+        mesh=None,
         **kwargs,
     ):
+        # mesh: optional jax Mesh with a 'particles' axis — shards the
+        # acquisition-argmax populations across devices
+        self._mesh = mesh
         super().__init__(search_space, **kwargs)
         self.n_point = max(1, int(n_point))
         self.data_file = data_file
@@ -242,6 +246,7 @@ class BaseBO(BaseOptimizer):
             n_restart=opts.get("n_restart"),
             max_FEs=opts.get("max_FEs"),
             seed=(self.random_seed or 0) + 17,
+            mesh=getattr(self, "_mesh", None),
         )
 
     @property
@@ -483,16 +488,18 @@ class BaseBO(BaseOptimizer):
 
         os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
         logger, timer = self.logger, self._timer
-        argmax = self._argmax
+        argmax, mesh = self._argmax, getattr(self, "_mesh", None)
         try:
             self.logger = None
             self._argmax = None
+            self._mesh = None
             with open(filename, "wb") as f:
                 dill.dump(self, f)
         finally:
             self.logger = logger
             self._timer = timer
             self._argmax = argmax
+            self._mesh = mesh
 
     @classmethod
     def load(cls, filename: str):

@@ -220,7 +220,12 @@ class AcquisitionArgmax:
         max_FEs: Optional[int] = None,
         n_chains: Optional[int] = None,
         seed: int = 0,
+        mesh=None,
     ):
+        # mesh: optional jax.sharding.Mesh with a 'particles' axis; the
+        # population axis (restarts / CMA chains) is sharded across it and
+        # the best-of-population argmax becomes an XLA collective
+        self.mesh = mesh
         self.encoding = encoding
         dim = encoding.dim
         all_real = bool(np.all(encoding.is_real))
@@ -272,9 +277,17 @@ class AcquisitionArgmax:
             k: v if hasattr(v, "dtype") else jnp.asarray(v, dtype)
             for k, v in acq_params.items()
         }
+
+        def shard(x0):
+            if self.mesh is None:
+                return x0
+            from ..parallel.mesh import shard_population
+
+            return shard_population(x0, self.mesh)
+
         key = self._next_key()
         if self.method == "BFGS":
-            x0 = jax.random.uniform(key, (self.n_restart, dim), dtype)
+            x0 = shard(jax.random.uniform(key, (self.n_restart, dim), dtype))
             u, val = _bfgs_argmax(
                 key, state, config, self.encoding, acq_name, params, minimize,
                 x0, fixed_mask, fixed_vals, self.max_iter,
@@ -286,7 +299,7 @@ class AcquisitionArgmax:
                 self.n_mies_restarts, self.n_mies_generations,
             )
         else:
-            x0 = jax.random.uniform(key, (self.n_chains, dim), dtype)
+            x0 = shard(jax.random.uniform(key, (self.n_chains, dim), dtype))
             u, val = _cma_argmax(
                 key, state, config, self.encoding, acq_name, params, minimize,
                 x0, fixed_mask, fixed_vals, self.n_generations,

@@ -97,7 +97,16 @@ def timed_phase(phase: str):
         @functools.wraps(fn)
         def wrapper(self, *args, **kwargs):
             t0 = time.perf_counter()
-            out = fn(self, *args, **kwargs)
+            try:
+                from jax.profiler import TraceAnnotation
+
+                ctx = TraceAnnotation(phase)
+            except Exception:  # pragma: no cover - profiler unavailable
+                import contextlib
+
+                ctx = contextlib.nullcontext()
+            with ctx:
+                out = fn(self, *args, **kwargs)
             dt = time.perf_counter() - t0
             timer = getattr(self, "_timer", None)
             if timer is not None:

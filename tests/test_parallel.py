@@ -1,0 +1,61 @@
+"""Multi-device sharding: populations across the 8-device CPU mesh
+(conftest forces xla_force_host_platform_device_count=8)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesian_optimization_tpu import BO, GaussianProcess, RealSpace
+from bayesian_optimization_tpu.models.trend import constant_trend
+from bayesian_optimization_tpu.parallel import (
+    PARTICLE_AXIS, make_particle_mesh, particle_sharding, shard_population,
+)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_particle_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_shard_population_pads_and_places():
+    mesh = make_particle_mesh()
+    x = jnp.arange(20.0).reshape(10, 2)
+    xs = shard_population(x, mesh)
+    assert xs.shape == (16, 2)  # padded to a multiple of 8
+    assert xs.sharding.spec[0] == PARTICLE_AXIS
+    assert np.allclose(np.asarray(xs)[:10], np.asarray(x))
+
+
+def test_sharded_reduction_matches_single_device():
+    mesh = make_particle_mesh()
+    x = jax.random.uniform(jax.random.PRNGKey(0), (32, 4))
+    f = jax.jit(lambda a: jnp.argmin(jnp.sum(a**2, axis=1)))
+    single = int(f(x))
+    sharded = int(f(jax.device_put(x, particle_sharding(mesh))))
+    assert single == sharded
+
+
+def test_bo_with_mesh_runs_and_matches_types():
+    mesh = make_particle_mesh()
+    gp = GaussianProcess(
+        mean=constant_trend(2), corr="matern",
+        thetaL=1e-3 * np.ones(2), thetaU=1e3 * np.ones(2),
+        nugget=1e-6, random_start=8, max_iter=25, random_state=0,
+    )
+    opt = BO(
+        search_space=RealSpace([[-5, 5]] * 2, random_seed=0),
+        obj_fun=lambda x: float(np.sum(np.asarray(x) ** 2)),
+        model=gp, DoE_size=5, max_FEs=10, random_seed=0, mesh=mesh,
+    )
+    xopt, fopt, _ = opt.run()
+    assert opt.eval_count == 10
+    assert fopt[0] < 10.0
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    ge.dryrun_multichip(8)
