@@ -71,10 +71,15 @@ class ParallelBO(BO):
         return out
 
     def _batch_arg_max_acquisition(self, n_point: int, fixed_units):
+        """All q parameter-sampled criteria maximized in ONE jitted program
+        (the reference forks a joblib pool per criterion, bayes_opt.py:108-111)."""
         pars = self._sample_par_batch(n_point)
-        results = [self._argmax_one(p, fixed_units) for p in pars]
         self._last_batch_pars = pars
-        return [r[0] for r in results], [r[1] for r in results]
+        us, vals = self._argmax.batch(
+            self.model.posterior, self.model.config, self.acquisition_fun,
+            pars, minimize=self.minimize, fixed=fixed_units,
+        )
+        return us, vals
 
 
 class AnnealingBO(ParallelBO):

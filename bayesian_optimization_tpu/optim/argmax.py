@@ -202,6 +202,57 @@ def _mies_argmax(
     return xb, -fb
 
 
+@partial(
+    jax.jit,
+    static_argnames=("encoding", "config", "acq_name", "minimize", "max_iter"),
+)
+def _bfgs_argmax_batch(
+    key, state, config, encoding, acq_name, acq_params_batch, minimize,
+    x0_batch, fixed_mask, fixed_vals, max_iter,
+):
+    """q-criteria batch: vmap the whole multi-start maximization over the
+    leading axis of the parameter pytree and x0 (q, R, dim) — the
+    ParallelBO ask as ONE program (SURVEY parallelism item 1)."""
+
+    def one(params, x0):
+        crit = make_unit_criterion(
+            encoding, state, config, acq_name, params, minimize, fixed_mask, fixed_vals
+        )
+        dim = x0.shape[-1]
+        res = maximize_restarts(
+            lambda u: crit(u[None, :])[0], x0, jnp.zeros(dim), jnp.ones(dim), max_iter=max_iter
+        )
+        u = res.x_best
+        if fixed_mask is not None:
+            u = jnp.where(fixed_mask > 0, fixed_vals, u)
+        return u, res.fun_best
+
+    return jax.vmap(one)(acq_params_batch, x0_batch)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("encoding", "config", "acq_name", "minimize", "n_generations"),
+)
+def _cma_argmax_batch(
+    key, state, config, encoding, acq_name, acq_params_batch, minimize,
+    x0_batch, fixed_mask, fixed_vals, n_generations,
+):
+    def one(k, params, x0):
+        crit = make_unit_criterion(
+            encoding, state, config, acq_name, params, minimize, fixed_mask, fixed_vals
+        )
+        dim = x0.shape[-1]
+        xb, fb, _, _ = run_cma(k, lambda U: -crit(U), x0, jnp.zeros(dim), jnp.ones(dim), n_generations)
+        if fixed_mask is not None:
+            xb = jnp.where(fixed_mask > 0, fixed_vals, xb)
+        return xb, -fb
+
+    q = x0_batch.shape[0]
+    keys = jax.random.split(key, q)
+    return jax.vmap(one)(keys, acq_params_batch, x0_batch)
+
+
 class AcquisitionArgmax:
     """Maximizes acquisition criteria over a `SpaceEncoding`'s unit cube.
 
@@ -306,3 +357,55 @@ class AcquisitionArgmax:
             )
         u = np.asarray(self.encoding.quantize_unit(u)).clip(0.0, 1.0)
         return u, float(val)
+
+    def batch(
+        self,
+        state: PosteriorState,
+        config: GPConfig,
+        acq_name: str,
+        acq_params_list,
+        minimize: bool = True,
+        fixed: Optional[Dict[int, float]] = None,
+    ):
+        """q criteria (same acquisition, different parameters) maximized in
+        ONE jitted program. Returns (list of unit vectors, list of values)."""
+        dim = self.encoding.dim
+        dtype = self.encoding.dtype
+        q = len(acq_params_list)
+        fixed_mask = jnp.zeros(dim, dtype)
+        fixed_vals = jnp.zeros(dim, dtype)
+        if fixed:
+            fm = np.zeros(dim)
+            fv = np.zeros(dim)
+            for j, uval in fixed.items():
+                fm[j] = 1.0
+                fv[j] = uval
+            fixed_mask = jnp.asarray(fm, dtype)
+            fixed_vals = jnp.asarray(fv, dtype)
+
+        # stack parameter dicts (same keys) along a leading q axis
+        keys_set = set(acq_params_list[0])
+        if any(set(p) != keys_set for p in acq_params_list):
+            raise ValueError("all parameter dicts must share the same keys")
+        params_batch = {
+            k: jnp.stack([
+                p[k] if hasattr(p[k], "dtype") else jnp.asarray(p[k], dtype)
+                for p in acq_params_list
+            ])
+            for k in keys_set
+        }
+        key = self._next_key()
+        if self.method == "BFGS":
+            x0 = jax.random.uniform(key, (q, self.n_restart, dim), dtype)
+            us, vals = _bfgs_argmax_batch(
+                key, state, config, self.encoding, acq_name, params_batch, minimize,
+                x0, fixed_mask, fixed_vals, self.max_iter,
+            )
+        else:
+            x0 = jax.random.uniform(key, (q, self.n_chains, dim), dtype)
+            us, vals = _cma_argmax_batch(
+                key, state, config, self.encoding, acq_name, params_batch, minimize,
+                x0, fixed_mask, fixed_vals, self.n_generations,
+            )
+        us = np.asarray(self.encoding.quantize_unit(us)).clip(0.0, 1.0)
+        return [us[i] for i in range(q)], [float(v) for v in np.asarray(vals)]

@@ -1,0 +1,237 @@
+"""Regret-parity runner: the five pinned BASELINE.json configs executed on
+BOTH frameworks (this one and the reference at /root/reference via the
+dependency shims), same seeds, recording best-found values and wall-clock.
+
+Usage: python benchmark/parity.py [--out PARITY.json] [--seeds 3]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/benchmark/ref_shims")
+sys.path.insert(0, "/root/reference")
+
+
+def sphere(x):
+    return float(np.sum(np.asarray(x, dtype=float) ** 2))
+
+
+def ellipsoid20(x):
+    x = np.asarray(x, dtype=float)
+    w = 10 ** np.linspace(0, 4, len(x))
+    return float(np.sum(w * x**2))
+
+
+def mixed_obj(x):
+    r0, r1, i0, c0 = x[0], x[1], x[2], x[3]
+    return (
+        float(r0) ** 2 + float(r1) ** 2 + abs(int(i0) - 5) / 5.0
+        + {"A": 0.0, "B": 0.7, "C": 1.5}[c0]
+    )
+
+
+def noisy_ellipsoid(rng):
+    def f(x):
+        return ellipsoid20(x) * (1.0 + 0.05 * rng.standard_normal())
+
+    return f
+
+
+# ---------------------------------------------------------------- ours
+def ours_config1(seed):
+    from bayesian_optimization_tpu import fmin
+
+    t0 = time.perf_counter()
+    _, fopt, _, _, _ = fmin(sphere, [-5.0] * 2, [5.0] * 2, max_FEs=30, x0=5, seed=seed)
+    return fopt, time.perf_counter() - t0
+
+
+def ours_config2(seed, acq):
+    from bayesian_optimization_tpu import BO, GaussianProcess, RealSpace
+    from bayesian_optimization_tpu.models.trend import constant_trend
+
+    space = RealSpace([[-5.0, 5.0]] * 5, random_seed=seed)
+    gp = GaussianProcess(mean=constant_trend(5), corr="matern",
+                         thetaL=1e-3 * np.ones(5), thetaU=1e3 * np.ones(5),
+                         nugget=1e-6, random_state=seed)
+    opt = BO(search_space=space, obj_fun=sphere, model=gp, DoE_size=10,
+             max_FEs=40, acquisition_fun=acq, random_seed=seed)
+    t0 = time.perf_counter()
+    opt.run()
+    return float(opt.xopt.fitness.ravel()[0]), time.perf_counter() - t0
+
+
+def ours_config3(seed):
+    from bayesian_optimization_tpu import GaussianProcess, ParallelBO, RealSpace
+    from bayesian_optimization_tpu.models.trend import constant_trend
+
+    space = RealSpace([[-5.0, 5.0]] * 5, random_seed=seed)
+    gp = GaussianProcess(mean=constant_trend(5), corr="matern",
+                         thetaL=1e-3 * np.ones(5), thetaU=1e3 * np.ones(5),
+                         nugget=1e-6, random_state=seed)
+    opt = ParallelBO(search_space=space, obj_fun=sphere, model=gp, n_point=8,
+                     acquisition_fun="MGFI", acquisition_par={"t": 2.0},
+                     DoE_size=8, max_FEs=48, random_seed=seed)
+    t0 = time.perf_counter()
+    opt.run()
+    return float(opt.xopt.fitness.ravel()[0]), time.perf_counter() - t0
+
+
+def _mixed_space_ours(seed):
+    from bayesian_optimization_tpu import DiscreteSpace, IntegerSpace, RealSpace
+
+    s = (RealSpace([[-3.0, 3.0]] * 2, var_name="r")
+         + IntegerSpace([0, 10], var_name="i")
+         + DiscreteSpace(["A", "B", "C"], var_name="c"))
+    s.random_seed = seed
+    return s
+
+
+def ours_config4(seed):
+    from bayesian_optimization_tpu import BO
+
+    opt = BO(search_space=_mixed_space_ours(seed), obj_fun=mixed_obj,
+             DoE_size=8, max_FEs=40, acquisition_fun="MGFI",
+             acquisition_par={"t": 2.0}, random_seed=seed)
+    t0 = time.perf_counter()
+    opt.run()
+    return float(opt.xopt.fitness.ravel()[0]), time.perf_counter() - t0
+
+
+def ours_config5(seed):
+    from bayesian_optimization_tpu import PCABO, RealSpace
+
+    space = RealSpace([[-5.0, 5.0]] * 20, random_seed=seed)
+    opt = PCABO(search_space=space, obj_fun=ellipsoid20, n_components=5,
+                DoE_size=20, max_FEs=60, random_seed=seed)
+    t0 = time.perf_counter()
+    opt.run()
+    return float(opt.xopt.fitness.ravel()[0]), time.perf_counter() - t0
+
+
+# ------------------------------------------------------------- reference
+def ref_config1(seed):
+    from bayes_optim import fmin as ref_fmin
+
+    t0 = time.perf_counter()
+    out = ref_fmin(sphere, [-5.0] * 2, [5.0] * 2, max_FEs=30, x0=5, seed=seed)
+    return float(np.ravel(out[1])[0]), time.perf_counter() - t0
+
+
+def _ref_gp(dim, seed):
+    from bayes_optim.surrogate.gaussian_process import trend
+    from bayes_optim.surrogate.gaussian_process.gpr import GaussianProcess as RefGP
+
+    return RefGP(mean=trend.constant_trend(dim), corr="matern",
+                 thetaL=1e-3 * 10 * np.ones(dim), thetaU=1e3 * 10 * np.ones(dim),
+                 nugget=1e-6, noise_estim=False, optimizer="BFGS", wait_iter=3,
+                 random_start=max(10, dim), likelihood="concentrated",
+                 eval_budget=100 * dim, random_state=seed)
+
+
+def ref_config2(seed, acq):
+    from bayes_optim import BO as RefBO
+    from bayes_optim import RealSpace as RefRealSpace
+
+    space = RefRealSpace([[-5.0, 5.0]] * 5, random_seed=seed)
+    opt = RefBO(search_space=space, obj_fun=sphere, model=_ref_gp(5, seed),
+                DoE_size=10, max_FEs=40, acquisition_fun=acq, random_seed=seed)
+    t0 = time.perf_counter()
+    opt.run()
+    return float(np.ravel(opt.xopt.fitness)[0]), time.perf_counter() - t0
+
+
+def ref_config3(seed):
+    from bayes_optim import ParallelBO as RefParallelBO
+    from bayes_optim import RealSpace as RefRealSpace
+
+    space = RefRealSpace([[-5.0, 5.0]] * 5, random_seed=seed)
+    opt = RefParallelBO(search_space=space, obj_fun=sphere, model=_ref_gp(5, seed),
+                        n_point=8, acquisition_fun="MGFI", acquisition_par={"t": 2.0},
+                        DoE_size=8, max_FEs=48, random_seed=seed)
+    t0 = time.perf_counter()
+    opt.run()
+    return float(np.ravel(opt.xopt.fitness)[0]), time.perf_counter() - t0
+
+
+def ref_config4(seed):
+    from bayes_optim import BO as RefBO
+    from bayes_optim.search_space import Discrete, Integer, Real, SearchSpace as RefSS
+    from bayes_optim.surrogate import RandomForest as RefRF
+
+    space = RefSS([Real([-3.0, 3.0], "r0"), Real([-3.0, 3.0], "r1"),
+                   Integer([0, 10], "i"), Discrete(["A", "B", "C"], "c")],
+                  random_seed=seed)
+    model = RefRF(levels=space.levels)
+    opt = RefBO(search_space=space, obj_fun=mixed_obj, model=model, DoE_size=8,
+                max_FEs=40, acquisition_fun="MGFI", acquisition_par={"t": 2.0},
+                random_seed=seed)
+    t0 = time.perf_counter()
+    opt.run()
+    return float(np.ravel(opt.xopt.fitness)[0]), time.perf_counter() - t0
+
+
+def ref_config5(seed):
+    from bayes_optim.extension import PCABO as RefPCABO
+    from bayes_optim import RealSpace as RefRealSpace
+
+    space = RefRealSpace([[-5.0, 5.0]] * 20, random_seed=seed)
+    opt = RefPCABO(search_space=space, obj_fun=ellipsoid20, n_components=5,
+                   DoE_size=20, max_FEs=60, random_seed=seed)
+    t0 = time.perf_counter()
+    opt.run()
+    return float(np.ravel(opt.xopt.fitness)[0]), time.perf_counter() - t0
+
+
+CONFIGS = {
+    "1_fmin_sphere2d": (ours_config1, ref_config1),
+    "2a_bo_ucb_5d": (lambda s: ours_config2(s, "UCB"), lambda s: ref_config2(s, "UCB")),
+    "2b_bo_pi_5d": (lambda s: ours_config2(s, "PI"), lambda s: ref_config2(s, "PI")),
+    "3_parallelbo_mgfi_q8": (ours_config3, ref_config3),
+    "4_mixed_mies": (ours_config4, ref_config4),
+    "5_pcabo_elli20": (ours_config5, ref_config5),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="PARITY.json")
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--configs", nargs="*", default=list(CONFIGS))
+    ap.add_argument("--skip-ref", action="store_true")
+    args = ap.parse_args()
+
+    results = {}
+    for name in args.configs:
+        ours_fn, ref_fn = CONFIGS[name]
+        rec = {"ours": [], "ref": [], "ours_wall": [], "ref_wall": []}
+        for seed in range(args.seeds):
+            f, w = ours_fn(42 + seed)
+            rec["ours"].append(f)
+            rec["ours_wall"].append(w)
+            print(f"[{name}] seed {seed}: ours fopt={f:.5g} ({w:.1f}s)", flush=True)
+            if not args.skip_ref:
+                try:
+                    f, w = ref_fn(42 + seed)
+                    rec["ref"].append(f)
+                    rec["ref_wall"].append(w)
+                    print(f"[{name}] seed {seed}: ref  fopt={f:.5g} ({w:.1f}s)", flush=True)
+                except Exception as e:  # noqa: BLE001 - record and continue
+                    print(f"[{name}] seed {seed}: ref FAILED: {e}", flush=True)
+                    rec.setdefault("ref_error", str(e))
+        results[name] = rec
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+    print(json.dumps({k: {"ours_med": float(np.median(v["ours"])),
+                          "ref_med": float(np.median(v["ref"])) if v["ref"] else None}
+                      for k, v in results.items()}, indent=1))
+
+
+if __name__ == "__main__":
+    main()
