@@ -68,65 +68,10 @@ def init_chains(key: jax.Array, x0: jnp.ndarray, f0: jnp.ndarray, sigma0: float)
 def cma_step(state: CMAState, fun: Callable, lo, hi, consts: dict) -> Tuple[CMAState, jnp.ndarray]:
     """One (1+1) generation for every chain; `fun` maps (P, d) -> (P,)
     objective values to MINIMIZE."""
-    P, d = state.x.shape
-    key, sub = jax.random.split(state.key)
-    z = jax.random.normal(sub, (P, d), state.x.dtype)
-    step = jnp.einsum("pij,pj->pi", state.A, z)
-    x_new = reflect_into_box(state.x + state.sigma[:, None] * step, lo, hi)
+    state, x_new = _host_propose(state, lo, hi)
     f_new = fun(x_new)
-    f_new = jnp.where(jnp.isfinite(f_new), f_new, jnp.inf)
-    success = (f_new <= state.f).astype(state.x.dtype)
-
-    # step-size: smoothed success rate + exponential scaling (ref :390-393)
-    pt = consts["prob_target"]
-    sr = (1.0 - consts["cp"]) * state.success_rate + consts["cp"] * success
-    sigma = state.sigma * jnp.exp((sr - pt) / (1.0 - pt) / consts["d_damp"])
-
-    # covariance: rank-one Cholesky update on successful chains (ref :451-468)
-    cc, ccov = consts["cc"], consts["ccov"]
-    coeff = cc * (2.0 - cc)
-    below = sr < consts["threshold"]
-    # actual successful step in whitened coordinates is z; x-space dir = A z
-    y = step  # (P, d)
-    pc_hit = (1.0 - cc) * state.pc + jnp.sqrt(coeff) * y
-    pc_miss = (1.0 - cc) * state.pc
-    pc_new = jnp.where(below[:, None], pc_hit, pc_miss)
-    ca = jnp.where(below, 1.0 - ccov, 1.0 - ccov + ccov * coeff)
-
-    w = jnp.einsum("pij,pj->pi", state.A_inv, pc_new)          # A^-1 pc
-    w_ = jnp.einsum("pji,pj->pi", state.A_inv, w)              # A^-T w
-    L = jnp.maximum(jnp.sum(w * w, axis=-1), 1e-20)            # |w|^2
-    root = jnp.sqrt(1.0 + L * ccov / ca)
-    A_upd = state.A + ((root - 1.0) / L)[:, None, None] * jnp.einsum(
-        "pi,pj->pij", pc_new, w
-    )
-    A_upd = A_upd * jnp.sqrt(ca)[:, None, None]
-    Ainv_upd = state.A_inv - ((1.0 - 1.0 / root) / L)[:, None, None] * jnp.einsum(
-        "pi,pj->pij", w, w_
-    )
-    Ainv_upd = Ainv_upd / jnp.sqrt(ca)[:, None, None]
-
-    succ = success[:, None, None] > 0
-    A = jnp.where(succ, A_upd, state.A)
-    A_inv = jnp.where(succ, Ainv_upd, state.A_inv)
-    pc = jnp.where(success[:, None] > 0, pc_new, pc_miss)
-
-    # degenerate-state reset (ref parity: :410-418)
-    bad = (
-        (sigma < 1e-8)
-        | (sigma > 1e8)
-        | ~jnp.isfinite(jnp.sum(A.reshape(P, -1), axis=-1))
-    )
-    eye = jnp.broadcast_to(jnp.eye(d, dtype=state.x.dtype), (P, d, d))
-    A = jnp.where(bad[:, None, None], eye, A)
-    A_inv = jnp.where(bad[:, None, None], eye, A_inv)
-    pc = jnp.where(bad[:, None], 0.0, pc)
-    sigma = jnp.where(bad, 0.25, sigma)
-
-    x = jnp.where(success[:, None] > 0, x_new, state.x)
-    f = jnp.minimum(f_new, state.f)
-    new_state = CMAState(x=x, f=f, sigma=sigma, A=A, A_inv=A_inv, pc=pc, success_rate=sr, key=key)
-    return new_state, f
+    new_state = _host_generation(state, x_new, f_new, consts, lo, hi)
+    return new_state, new_state.f
 
 
 def run_cma(
