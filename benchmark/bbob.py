@@ -346,7 +346,81 @@ _CORES: Dict[int, Callable] = {
 AVAILABLE_FIDS = sorted(_CORES)
 
 
+# ---------------------------------------------------------------------------
+# noisy suite F101-F130: noise models applied to base functions
+# (BBOB noisy definitions; analog of the reference's F101-F130 in
+#  benchmark/bbobbenchmarks.py)
+# ---------------------------------------------------------------------------
+def _noise_gauss(df, beta, g):
+    return df * np.exp(beta * g.standard_normal(df.shape))
+
+
+def _noise_uniform(df, alpha, beta, g):
+    u1, u2 = g.random(df.shape), g.random(df.shape)
+    return df * (u1**beta) * np.maximum(1.0, (1e9 / (df + 1e-99)) ** (alpha * u2))
+
+
+def _noise_cauchy(df, alpha, p, g):
+    n1 = g.standard_normal(df.shape)
+    n2 = g.standard_normal(df.shape)
+    spike = np.where(g.random(df.shape) < p, n1 / (np.abs(n2) + 1e-199), 0.0)
+    return df + alpha * np.maximum(0.0, 1000.0 + spike)
+
+
+#: fid -> (base core fid, noise kind, severity)
+_NOISY_MAP: Dict[int, Tuple[int, str, str]] = {}
+for _i, _base in enumerate([1, 8]):  # moderate noise: sphere, rosenbrock
+    for _j, _kind in enumerate(["gauss", "uniform", "cauchy"]):
+        _NOISY_MAP[101 + _i * 3 + _j] = (_base, _kind, "moderate")
+for _i, _base in enumerate([1, 8, 7, 10, 14, 17, 19, 21]):  # severe
+    for _j, _kind in enumerate(["gauss", "uniform", "cauchy"]):
+        _NOISY_MAP[107 + _i * 3 + _j] = (_base, _kind, "severe")
+
+NOISY_FIDS = sorted(_NOISY_MAP)
+
+
+class NoisyBBOBFunction(BBOBFunction):
+    """F101-F130: base function + Gaussian/uniform/Cauchy noise model.
+
+    Noise is applied to the excess Delta-f = f - f_opt (no noise within the
+    1e-8 target precision), matching the noisy-suite convention.
+    """
+
+    def __init__(self, fid: int, dim: int, instance: int = 1):
+        if fid not in _NOISY_MAP:
+            raise ValueError(f"F{fid} is not a noisy BBOB id; available: {NOISY_FIDS}")
+        base_fid, kind, severity = _NOISY_MAP[fid]
+        super().__init__(base_fid, dim, instance)
+        self.fid = fid
+        self.noise_kind, self.severity = kind, severity
+        self._noise_rng = _rng(fid, instance, dim, 9)
+
+    def __call__(self, X) -> np.ndarray:
+        X = np.asarray(X, dtype=float)
+        single = X.ndim == 1
+        X = np.atleast_2d(X)
+        df = np.maximum(self._core(self, X), 0.0)
+        d = self.dim
+        g = self._noise_rng
+        if self.noise_kind == "gauss":
+            beta = 0.01 if self.severity == "moderate" else 1.0
+            noisy = _noise_gauss(df, beta, g)
+        elif self.noise_kind == "uniform":
+            if self.severity == "moderate":
+                alpha, beta = 0.01 * (0.49 + 1.0 / d), 0.01
+            else:
+                alpha, beta = 0.49 + 1.0 / d, 1.0
+            noisy = _noise_uniform(df, alpha, beta, g)
+        else:  # cauchy
+            alpha, p = (0.01, 0.05) if self.severity == "moderate" else (1.0, 0.2)
+            noisy = _noise_cauchy(df, alpha, p, g)
+        out = np.where(df < 1e-8, df, noisy) + self.f_opt
+        return float(out[0]) if single else out
+
+
 def instantiate(fid: int, dim: int, instance: int = 1) -> Tuple[BBOBFunction, float]:
-    """(function, f_target) like the reference harness's `instantiate`."""
-    fn = BBOBFunction(fid, dim, instance)
+    """(function, f_target) like the reference harness's `instantiate`;
+    fids 1-24 are noiseless, 101-130 noisy."""
+    cls = NoisyBBOBFunction if fid >= 100 else BBOBFunction
+    fn = cls(fid, dim, instance)
     return fn, fn.f_opt

@@ -55,3 +55,28 @@ def test_run_bo_on_sphere_beats_random():
     assert rec["n_evals"] == 16
     # random search on [-5,5]^2 has expected best regret >> 0.5 at 16 evals
     assert rec["final_regret"] < 2.0, rec["final_regret"]
+
+
+from benchmark.bbob import NOISY_FIDS, NoisyBBOBFunction, instantiate
+
+
+def test_noisy_suite_complete():
+    assert len(NOISY_FIDS) == 30
+    assert NOISY_FIDS[0] == 101 and NOISY_FIDS[-1] == 130
+
+
+@pytest.mark.parametrize("fid", [101, 105, 112, 121, 130])
+def test_noisy_zero_at_optimum_and_noisy_elsewhere(fid):
+    p, ft = instantiate(fid, 3, instance=2)
+    assert p(p.x_opt) - ft == pytest.approx(0.0, abs=1e-9)
+    x = np.full(3, 2.0)
+    vals = np.array([p(x) for _ in range(10)])
+    assert np.all(np.isfinite(vals))
+    assert np.std(vals) > 0  # stochastic
+
+
+def test_noisy_instantiate_dispatch():
+    p, _ = instantiate(1, 2)
+    q, _ = instantiate(101, 2)
+    assert type(p).__name__ == "BBOBFunction"
+    assert isinstance(q, NoisyBBOBFunction)
