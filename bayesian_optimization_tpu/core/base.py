@@ -511,6 +511,62 @@ class BaseBO(BaseOptimizer):
         obj._set_internal_optimization({"optimizer": obj._optimizer_name})
         return obj
 
+    # ---------------------------------------------------- structured state
+    def state_dict(self) -> dict:
+        """Plain-array checkpoint state (no pickled code): observed data,
+        counters, RNG state, and fitted hyperparameters — the orbax-style
+        alternative to dill `save` (SURVEY section 5 checkpoint/resume)."""
+        out = {
+            "version": 1,
+            "cls": type(self).__name__,
+            "iter_count": self.iter_count,
+            "eval_count": self.eval_count,
+            "hist_f": [np.asarray(h).tolist() for h in self.hist_f],
+            "rng_state": self._rng.bit_generator.state,
+            "space": self._search_space.to_dict(),
+        }
+        if self.data is not None:
+            out["data"] = {
+                "values": [list(r) for r in self.data.values],
+                "fitness": self.data.fitness.tolist(),
+                "n_eval": self.data.n_eval.tolist(),
+                "index": self.data.index.tolist(),
+                "var_name": self.data.var_name,
+            }
+        theta = getattr(self.model, "theta_", None)
+        if theta is not None:
+            out["model_theta"] = np.asarray(theta).tolist()
+        return out
+
+    def save_state(self, filename: str) -> None:
+        import json
+
+        os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
+        with open(filename, "w") as f:
+            json.dump(self.state_dict(), f)
+
+    def load_state(self, filename: str) -> "BaseBO":
+        """Restore observations + counters + RNG into THIS optimizer (its
+        search space / model config must match the checkpoint) and refit."""
+        import json
+
+        with open(filename) as f:
+            state = json.load(f)
+        if state.get("space", {}).keys() != self._search_space.to_dict().keys():
+            raise ValueError("checkpoint search space does not match this optimizer")
+        self.iter_count = int(state["iter_count"])
+        self.eval_count = int(state["eval_count"])
+        self.hist_f = [np.asarray(h) for h in state["hist_f"]]
+        self._rng.bit_generator.state = state["rng_state"]
+        if "data" in state:
+            d = state["data"]
+            self.data = Solution(
+                d["values"], fitness=d["fitness"], n_eval=d["n_eval"],
+                index=d["index"], var_name=d["var_name"],
+            )
+            self.update_model()
+        return self
+
 
 def _partial_constraint(fn, var_names, fixed: dict, free_names):
     """Close over fixed variables so constraints see full vectors

@@ -176,3 +176,34 @@ def test_infeasible_constraint_ask_empty():
     )
     with pytest.raises(AskEmptyError):
         opt.ask()
+
+
+def test_structured_state_roundtrip(tmp_path):
+    """JSON state checkpoint (no pickled code) restores data/counters/RNG
+    and lets a fresh optimizer continue."""
+    space = RealSpace([[-5, 5]] * 2, random_seed=0)
+    opt = BO(search_space=space, obj_fun=sphere, model=make_gp(2), DoE_size=4, max_FEs=12, random_seed=0)
+    opt.step()
+    f = tmp_path / "state.json"
+    opt.save_state(str(f))
+
+    opt2 = BO(search_space=RealSpace([[-5, 5]] * 2, random_seed=0), obj_fun=sphere,
+              model=make_gp(2), DoE_size=4, max_FEs=12, random_seed=0)
+    opt2.load_state(str(f))
+    assert opt2.iter_count == opt.iter_count
+    assert opt2.data.N == opt.data.N
+    assert opt2.model.is_fitted
+    opt2.step()
+    assert opt2.data.N > opt.data.N
+
+
+def test_structured_state_space_mismatch(tmp_path):
+    space = RealSpace([[-5, 5]] * 2, var_name="x", random_seed=0)
+    opt = BO(search_space=space, obj_fun=sphere, model=make_gp(2), DoE_size=4, max_FEs=12, random_seed=0)
+    opt.step()
+    f = tmp_path / "state.json"
+    opt.save_state(str(f))
+    other = BO(search_space=RealSpace([[-5, 5]] * 3, var_name="y", random_seed=0),
+               obj_fun=sphere, model=make_gp(3), DoE_size=4, max_FEs=12)
+    with pytest.raises(ValueError):
+        other.load_state(str(f))
