@@ -25,7 +25,6 @@ TPU-first design differences:
 from __future__ import annotations
 
 import os
-from copy import copy, deepcopy
 from typing import Callable, Dict, List, Optional, Tuple, Union
 
 import numpy as np
@@ -269,8 +268,7 @@ class BaseBO(BaseOptimizer):
     # ------------------------------------------------------------ codecs
     def _to_pheno(self, X: Solution):
         if self._eval_type == "dict":
-            rows = [dict(zip(self.var_names, row)) for row in np.atleast_2d(X.values)]
-            return rows[0] if X.N == 1 and False else rows
+            return [dict(zip(self.var_names, row)) for row in np.atleast_2d(X.values)]
         return X.tolist()
 
     def _to_geno(self, X, index=None) -> Solution:
