@@ -57,10 +57,12 @@ def _bucket(n: int) -> int:
     return int(-(-n // 64) * 64)
 
 
-@partial(jax.jit, static_argnames=("config", "max_iter"))
-def _fit_kernel(x0_batch, lo, hi, X, Y, F, mask, n, noise_var, beta0, config, max_iter):
+@partial(jax.jit, static_argnames=("config", "max_iter", "max_ls"))
+def _fit_kernel(x0_batch, lo, hi, X, Y, F, mask, n, noise_var, beta0, config, max_iter, max_ls=12):
     nll = lambda p: neg_log_likelihood(p, X, Y, F, mask, n, noise_var, beta0, config)
-    res = minimize_restarts(nll, x0_batch, lo, hi, max_iter=max_iter)
+    res = minimize_restarts(
+        nll, x0_batch, lo, hi, max_iter=max_iter, max_linesearch_steps=max_ls
+    )
     state = posterior_state(res.x_best, X, Y, F, mask, n, noise_var, beta0, config)
     return res.x_best, res.fun_best, state
 
@@ -131,7 +133,8 @@ class GaussianProcess:
         random_state=None,
         verbose: bool = False,
         dtype=jnp.float32,
-        max_iter: int = 50,
+        max_iter: int = 40,
+        max_linesearch_steps: int = 12,
     ):
         self.mean = mean
         self.corr_type = corr if isinstance(corr, str) else "custom"
@@ -152,6 +155,7 @@ class GaussianProcess:
         self.wait_iter = wait_iter
         self.eval_budget = eval_budget
         self.max_iter = int(max_iter)
+        self.max_linesearch_steps = int(max_linesearch_steps)
         self.verbose = verbose
         self.dtype = dtype
         self._rng = np.random.default_rng(
@@ -292,7 +296,7 @@ class GaussianProcess:
                     jnp.asarray(bounds[:, 1], self.dtype),
                     Xj, Yj, Fj, maskj, jnp.asarray(float(n), self.dtype),
                     jnp.asarray(float(noise_var), self.dtype),
-                    beta0, config, self.max_iter,
+                    beta0, config, self.max_iter, self.max_linesearch_steps,
                 )
             ok = bool(np.isfinite(float(nll))) and bool(
                 np.all(np.isfinite(np.asarray(state.gamma)))

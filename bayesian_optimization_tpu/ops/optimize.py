@@ -49,6 +49,7 @@ def minimize_restarts(
     max_iter: int = 60,
     memory_size: int = 10,
     tol: float = 1e-8,
+    max_linesearch_steps: int = 20,
 ) -> MinimizeResult:
     """Minimize `fun` from each row of x0 (R, d) inside [lo, hi], all
     restarts in parallel; returns per-restart results and the overall best.
@@ -63,7 +64,7 @@ def minimize_restarts(
 
     opt = optax.lbfgs(
         memory_size=memory_size,
-        linesearch=optax.scale_by_zoom_linesearch(max_linesearch_steps=20),
+        linesearch=optax.scale_by_zoom_linesearch(max_linesearch_steps=max_linesearch_steps),
     )
     value_and_grad = optax.value_and_grad_from_state(zfun)
 
