@@ -45,7 +45,7 @@ def main():
     gp = GaussianProcess(
         mean=constant_trend(DIM), corr="matern",
         thetaL=1e-3 * np.ones(DIM), thetaU=1e3 * np.ones(DIM),
-        nugget=1e-6, random_start=10, max_iter=50, random_state=0,
+        nugget=1e-6, random_start=10, random_state=0,
     )
     space = RealSpace([[0.0, 1.0]] * DIM)
     enc = space.encoding()
