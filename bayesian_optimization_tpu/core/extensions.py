@@ -138,10 +138,27 @@ class PCABO(BO):
         )
         bounds = self._compute_bounds(self._pca, self._original_space)
         self._search_space = RealSpace(bounds)
-        self.encoding = self._search_space.encoding()
-        self._argmax = AcquisitionArgmax(
-            self.encoding, method="BFGS", seed=(self.random_seed or 0) + 17 + self.iter_count
-        )
+        # Reuse one SpaceEncoding/argmax per reduced dimension: the jitted
+        # criterion depends on the encoding only through its identity (for an
+        # all-real space unit_to_embed is bounds-independent), so rebuilding
+        # it every tell would force a full recompilation per iteration —
+        # enough to exhaust compiler memory over a long run. Only the
+        # host-side bound arrays need refreshing.
+        k = len(bounds)
+        if not hasattr(self, "_enc_cache"):
+            self._enc_cache = {}
+            self._argmax_cache = {}
+        if k not in self._enc_cache:
+            self._enc_cache[k] = self._search_space.encoding()
+            self._argmax_cache[k] = AcquisitionArgmax(
+                self._enc_cache[k], method="BFGS", seed=(self.random_seed or 0) + 17 + k
+            )
+        enc = self._enc_cache[k]
+        enc.space = self._search_space
+        b = np.asarray(bounds, dtype=float)
+        enc.lo_t, enc.hi_t = b[:, 0].copy(), b[:, 1].copy()
+        self.encoding = enc
+        self._argmax = self._argmax_cache[k]
         self._update_model_reduced(X_red, self.data.fitness[:, 0])
         self.hist_f.append(self.xopt.fitness.ravel().copy())
 
