@@ -434,7 +434,7 @@ class BaseBO(BaseOptimizer):
     # ----------------------------------------------------- acquisition optim
     def _acq_par_defaults(self, par: dict) -> dict:
         out = dict(par)
-        if self.acquisition_fun in ("EI", "PI", "EpsilonPI", "MGFI") and "plugin" not in out:
+        if self.acquisition_fun in ("EI", "PI", "EpsilonPI", "MGFI", "GEI") and "plugin" not in out:
             out["plugin"] = self.fmin if self.minimize else -self.fmax
         return out
 
@@ -466,10 +466,14 @@ class BaseBO(BaseOptimizer):
     def _argmax_one(self, acq_par: dict, fixed_units) -> Tuple[np.ndarray, float]:
         # the surrogate fits standardized raw fitness, so the criterion must
         # carry the problem's own min/max orientation
+        name = self.acquisition_fun
+        acq_par = dict(acq_par)
+        if name == "GEI":  # improvement order must be jit-static
+            name = f"GEI{int(acq_par.pop('g', 2))}"
         return self._argmax(
             self.model.posterior,
             self.model.config,
-            self.acquisition_fun,
+            name,
             acq_par,
             minimize=self.minimize,
             fixed=fixed_units,

@@ -75,12 +75,35 @@ def mgfi(mu, sd, plugin, t: float = 1.0, **_) -> jnp.ndarray:
     return _guard(value, sd)
 
 
+def gei(mu, sd, plugin, g: int = 2, **_) -> jnp.ndarray:
+    """Generalized expected improvement E[I^g] (Schonlau et al. 1998) —
+    left as a stub in the reference (acquisition_fun.py:313-331). Closed
+    form via the truncated-moment recursion
+    M_0 = Phi(u), M_1 = -phi(u), M_k = -u^{k-1} phi(u) + (k-1) M_{k-2}
+    with u = (plugin - mu)/sd:
+        E[I^g] = sd^g * sum_k C(g,k) u^{g-k} (-1)^k M_k.
+    g = 1 reduces to EI; larger g rewards heavier right tails (more
+    exploratory)."""
+    g = int(g)
+    sd_safe = jnp.maximum(sd, _SD_FLOOR)
+    u = (plugin - mu) / sd_safe
+    phi_u = norm.pdf(u)
+    moments = [norm.cdf(u), -phi_u]
+    for k in range(2, g + 1):
+        moments.append(-(u ** (k - 1)) * phi_u + (k - 1) * moments[k - 2])
+    total = 0.0
+    for k in range(g + 1):
+        total = total + math.comb(g, k) * (u ** (g - k)) * ((-1.0) ** k) * moments[k]
+    return _guard(sd_safe**g * total, sd)
+
+
 ACQUISITIONS: Dict[str, Callable] = {
     "EI": ei,
     "PI": pi,
     "EpsilonPI": epsilon_pi,
     "UCB": ucb,
     "MGFI": mgfi,
+    "GEI": gei,
 }
 
 
@@ -153,7 +176,7 @@ class AcquisitionFunction:
 
     def criterion_params(self) -> dict:
         p = dict(self.params)
-        if self._fn_name in ("EI", "PI", "EpsilonPI", "MGFI"):
+        if self._fn_name in ("EI", "PI", "EpsilonPI", "MGFI", "GEI"):
             p["plugin"] = self._plugin
         return p
 
@@ -202,6 +225,15 @@ class UCB(AcquisitionFunction):
 
     def __init__(self, alpha: float = 0.5, **kwargs):
         super().__init__(alpha=alpha, **kwargs)
+
+
+class GEI(AcquisitionFunction):
+    _fn_name = "GEI"
+
+    def __init__(self, g: int = 2, **kwargs):
+        if int(g) < 1:
+            raise ValueError("g must be a positive integer")
+        super().__init__(g=int(g), **kwargs)
 
 
 class MGFI(AcquisitionFunction):

@@ -127,7 +127,16 @@ def make_unit_criterion(
 
         return crit
 
-    fn = acquisition_fn(acq_name)
+    if acq_name.startswith("GEI"):
+        # static improvement order encoded in the name ("GEI3"), since the
+        # moment recursion unrolls over g at trace time
+        from functools import partial as _partial
+
+        from ..ops.acquisition import gei
+
+        fn = _partial(gei, g=int(acq_name[3:] or 2))
+    else:
+        fn = acquisition_fn(acq_name)
 
     def crit(U: jnp.ndarray) -> jnp.ndarray:
         mu, sd = moments(U)
