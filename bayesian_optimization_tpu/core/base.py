@@ -159,6 +159,15 @@ class BaseOptimizer:
         i = int(np.nanargmin(f) if self.minimize else np.nanargmax(f))
         return self.data[i]
 
+    @property
+    def fopt(self) -> float:
+        """Best observed objective value (the reference's examples use this
+        but its package never defines it — example/example_BO_CMA.py)."""
+        xopt = self.xopt
+        if xopt is None:
+            return np.nan
+        return float(xopt.fitness.ravel()[0])
+
     def _to_pheno(self, X: Solution):
         return X.tolist()
 
@@ -427,9 +436,7 @@ class BaseBO(BaseOptimizer):
         if getattr(self.model, "feature_space", "embedding") == "raw":
             return data.values
         U = self.encoding.encode_unit(data.values)
-        import jax.numpy as jnp
-
-        return np.asarray(self.encoding.unit_to_embed(jnp.asarray(U, self.encoding.dtype)))
+        return self.encoding.unit_to_embed_np(U)
 
     # ----------------------------------------------------- acquisition optim
     def _acq_par_defaults(self, par: dict) -> dict:

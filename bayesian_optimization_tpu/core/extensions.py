@@ -178,7 +178,7 @@ class PCABO(BO):
         self.frange = self.fmax - self.fmin
         # the GP fits on the unit encoding of the reduced space
         U = self.encoding.encode_unit(np.asarray(X_red, dtype=object))
-        E = np.asarray(self.encoding.unit_to_embed(jnp.asarray(U, self.encoding.dtype)))
+        E = self.encoding.unit_to_embed_np(U)
         self.model.fit(E, y_.reshape(-1, 1))
 
     def _acq_par_defaults(self, par: dict) -> dict:

@@ -174,6 +174,21 @@ class OnePlusOne_Cholesky_CMA:
         return vals, viol
 
     def run(self):
+        # The host objective forces a device sync every generation, so the
+        # tiny (P, d, d) chain state lives on the host CPU backend — a remote
+        # TPU would add tunnel latency per generation for no compute win.
+        # (The BO-internal argmax path fuses the acquisition INTO the TPU
+        # program instead — optim/argmax.py — and never takes this loop.)
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None:
+            with jax.default_device(cpu):
+                return self._run_loop()
+        return self._run_loop()
+
+    def _run_loop(self):
         P, d = self.n_chains, self.dim
         lo = jnp.asarray(self.lb, jnp.float32)
         hi = jnp.asarray(self.ub, jnp.float32)
@@ -191,6 +206,8 @@ class OnePlusOne_Cholesky_CMA:
 
         max_gens = int(max(1, self.max_FEs // P))
         f_hist = []
+        n_restart = 0
+        best_x, best_f, best_viol = None, np.inf, np.inf
         for gen in range(max_gens):
             self.iter_count = gen
             st_mid, x_new = propose(state)
@@ -203,20 +220,51 @@ class OnePlusOne_Cholesky_CMA:
             state = step(st_mid._replace(f=f_parent), x_new, f_new)
             obj_p = np.where(accepted, obj_n, obj_p)
             viol_p = np.where(accepted, viol_n, viol_p)
+            # running champion across restarts: feasible-first ranking
+            feas_rank = np.where(viol_p > 1e-9, viol_p * 1e6, 0.0) + obj_p
+            i = int(np.argmin(feas_rank))
+            best_rank = (best_viol * 1e6 if best_viol > 1e-9 else 0.0) + best_f
+            if feas_rank[i] < best_rank:
+                best_x = np.asarray(state.x[i], dtype=float)
+                best_f, best_viol = float(obj_p[i]), float(viol_p[i])
             fbest = float(jnp.min(state.f))
             f_hist.append(fbest)
-            if self.ftarget is not None and fbest <= (self.ftarget if self.minimize else -self.ftarget):
-                break
-            if len(f_hist) > 20 and abs(f_hist[-20] - fbest) < self.ftol and fbest < np.inf:
+            if self.ftarget is not None and best_f <= (self.ftarget if self.minimize else -self.ftarget):
                 break
             if self.eval_count >= self.max_FEs:
                 break
-        # champion: feasible-first ranking
-        feas_rank = np.where(viol_p > 1e-9, viol_p * 1e6, 0.0) + obj_p
-        best = int(np.argmin(feas_rank))
-        self.xopt = np.asarray(state.x[best], dtype=float)
-        self.fopt = float(obj_p[best]) * (1.0 if self.minimize else -1.0)
-        self.stop_dict = {"FEs": self.eval_count}
+            # per-chain restart on step-size collapse: a chain whose sigma
+            # shrank below xtol (relative to the box) has converged — its
+            # best is already in the champion above, so reseed it uniformly
+            # (the reference's restart-on-stop, one_plus_one_cma_es.py:354-377,
+            # vectorized per chain instead of serially for the whole run)
+            sig = np.asarray(state.sigma)
+            sig_restart = self.xtol * float(np.min(self.ub - self.lb))
+            if self.ftarget is not None and self.ftarget > 0:
+                # keep reseeding below the step size a chain needs to reach
+                # ftarget, or it would be killed on final approach
+                sig_restart = min(sig_restart, 1e-2 * np.sqrt(self.ftarget))
+            done = sig < sig_restart
+            if np.any(done):
+                n_restart += int(done.sum())
+                x0 = np.asarray(state.x, dtype=float)
+                x0[done] = self._rng.uniform(self.lb, self.ub, (int(done.sum()), d))
+                obj_r, viol_r = self._eval_batch(x0[done])
+                obj_p[done], viol_p[done] = obj_r, viol_r
+                m = jnp.asarray(done)
+                eye = jnp.broadcast_to(jnp.eye(d, dtype=state.x.dtype), (P, d, d))
+                state = state._replace(
+                    x=jnp.where(m[:, None], jnp.asarray(x0, jnp.float32), state.x),
+                    f=jnp.where(m, jnp.asarray(obj_p + 0.5 * viol_p, jnp.float32), state.f),
+                    sigma=jnp.where(m, self.sigma0, state.sigma),
+                    A=jnp.where(m[:, None, None], eye, state.A),
+                    A_inv=jnp.where(m[:, None, None], eye, state.A_inv),
+                    pc=jnp.where(m[:, None], 0.0, state.pc),
+                    success_rate=jnp.where(m, 2.0 / 11.0, state.success_rate),
+                )
+        self.xopt = best_x
+        self.fopt = best_f * (1.0 if self.minimize else -1.0)
+        self.stop_dict = {"FEs": self.eval_count, "n_restart": n_restart}
         return self.xopt, self.fopt, self.stop_dict
 
 

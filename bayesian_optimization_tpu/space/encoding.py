@@ -134,6 +134,28 @@ class SpaceEncoding:
             E = jax.lax.dynamic_update_slice_in_dim(E, oh, off, axis=-1)
         return E
 
+    def unit_to_embed_np(self, U: np.ndarray) -> np.ndarray:
+        """Host (numpy) mirror of `unit_to_embed` for ask/tell paths.
+
+        Calling the traced version eagerly dispatches one op at a time to the
+        device — over a remote-TPU tunnel that is seconds per call for an
+        (n, dim) batch, which dominated `tell`. The embedding is plain
+        arithmetic, so the host path computes it in numpy; test_encoding
+        asserts it matches the jittable version bit-for-bit."""
+        U = np.atleast_2d(np.asarray(U, dtype=np.float64))
+        n = np.maximum(self.n_levels, 1).astype(np.float64)
+        lev = np.minimum(np.floor(np.clip(U, 0.0, 1.0) * n), n - 1.0)
+        E = np.zeros(U.shape[:-1] + (self.d_embed,), dtype=np.float64)
+        for j, off in self._scalar_cols:
+            if self.is_real[j]:
+                E[..., off] = U[..., j]
+            else:
+                E[..., off] = lev[..., j] / max(n[j] - 1.0, 1.0)
+        for j, off, width in self._onehot_specs:
+            idx = lev[..., j].astype(np.int64)
+            E[..., off:off + width] = np.eye(width)[idx]
+        return E
+
     def sample_unit(self, key: jax.Array, n: int, method: str = "uniform") -> jnp.ndarray:
         """Jittable sampler on the unit cube: 'uniform' or 'lhs'."""
         if method == "uniform":
@@ -185,9 +207,9 @@ class SpaceEncoding:
                 X[:, j] = np.array([var.value_of(k) for k in lev], dtype=object)
         return X
 
-    def embed_raw(self, X_raw) -> jnp.ndarray:
-        """Raw object array -> surrogate features (host encode + device map)."""
-        return self.unit_to_embed(jnp.asarray(self.encode_unit(X_raw), self.dtype))
+    def embed_raw(self, X_raw) -> np.ndarray:
+        """Raw object array -> surrogate features (host-side)."""
+        return self.unit_to_embed_np(self.encode_unit(X_raw))
 
     # ---------------------------------------------------------------- misc
     # identity hash/eq: a SpaceEncoding instance is immutable after build, so

@@ -282,7 +282,7 @@ class SearchSpace:
         for k in range(n):
             for v in self.data:
                 vv = deepcopy(v)
-                vv.name = f"{v.name}.{k}"
+                vv.name = f"{v.name}{k}"
                 data.append(vv)
         return SearchSpace(data, self._random_seed)
 
@@ -427,7 +427,7 @@ class SearchSpace:
             conditions = spec.get("conditions")
             t = str(spec["type"]).lower()
             for k in range(n_copies):
-                nm = name if n_copies == 1 else f"{name}.{k}"
+                nm = name if n_copies == 1 else f"{name}{k}"
                 kw = dict(name=nm, default_value=default, conditions=conditions)
                 if t in ("r", "real"):
                     variables.append(

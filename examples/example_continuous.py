@@ -1,5 +1,7 @@
 """BO with a GP surrogate on a 5-D continuous space
 (capability analog of ref example/example_continuous_variables.py)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import numpy as np
 
 from bayesian_optimization_tpu import BO, GaussianProcess, RealSpace

@@ -1,6 +1,8 @@
 """BO over a mixed real/integer/categorical/bool space with the vectorized
 MIES acquisition optimizer (capability analog of ref
 example/example_mixed_variables.py)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import numpy as np
 
 from bayesian_optimization_tpu import (

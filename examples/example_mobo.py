@@ -1,4 +1,6 @@
 """Multi-objective BO with EHVI (analog of ref example/example_mobo.py)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import numpy as np
 
 from bayesian_optimization_tpu import MOBO, RealSpace

@@ -1,5 +1,7 @@
 """Batch-sequential BO: q=8 points per iteration via MGFI parameter
 sampling (BASELINE config 3; analog of ref example/example_BO_CMA_multipoint.py)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import numpy as np
 
 from bayesian_optimization_tpu import GaussianProcess, ParallelBO, RealSpace

@@ -1,4 +1,6 @@
 """High-dimensional BO with supervised PCA (analog of ref example/example_PCABO.py)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import numpy as np
 
 from bayesian_optimization_tpu import PCABO, RealSpace

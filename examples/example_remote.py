@@ -1,6 +1,8 @@
 """Remote ask/tell optimization over HTTP (analog of ref
 example/example_remote.py — whose server module this framework actually
 ships: `python -m bayesian_optimization_tpu.simple_http_server -w 7200`)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import json
 import subprocess
 import sys

@@ -84,3 +84,16 @@ def test_real_gradients_flow():
     g = jax.grad(loss)(jnp.full((1, 3), 0.4))
     assert np.all(np.isfinite(np.asarray(g)))
     assert abs(float(g[0, 0])) > 0  # real coords carry gradient
+
+
+def test_unit_to_embed_np_matches_traced():
+    """The host (numpy) embedding used by tell/update_model must match the
+    jittable one used inside the argmax programs exactly."""
+    cs = mixed_space()
+    enc = cs.encoding()
+    rng = np.random.default_rng(7)
+    U = rng.uniform(0, 1, (37, enc.dim))
+    E_np = enc.unit_to_embed_np(U)
+    E_tr = np.asarray(jax.jit(enc.unit_to_embed)(jnp.asarray(U, enc.dtype)))
+    assert E_np.shape == E_tr.shape
+    assert np.allclose(E_np, E_tr, atol=1e-6)

@@ -58,7 +58,7 @@ def test_space_algebra():
     assert s3.dim == 2 and isinstance(s3, RealSpace)
     s4 = RealSpace([0, 1], var_name="x") * 3
     assert s4.dim == 3
-    assert s4.var_name == ["x.0", "x.1", "x.2"]
+    assert s4.var_name == ["x0", "x1", "x2"]
     assert (s1 + s2) == (s1 + s2)
 
 

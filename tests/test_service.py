@@ -46,12 +46,12 @@ def test_full_protocol_roundtrip(server):
     assert job_id
 
     def obj(d):
-        return float(d["x.0"] ** 2 + d["x.1"] ** 2 + d["k"] + (0 if d["c"] == "a" else 1))
+        return float(d["x0"] ** 2 + d["x1"] ** 2 + d["k"] + (0 if d["c"] == "a" else 1))
 
     for _ in range(2):
         out = _get(f"{server}/?ask=null&job_id={job_id}")
         X = out["X"]
-        assert len(X) >= 1 and {"x.0", "x.1", "k", "c"} <= set(X[0])
+        assert len(X) >= 1 and {"x0", "x1", "k", "c"} <= set(X[0])
         y = [obj(x) for x in X]
         ack = _post(server, {"job_id": job_id, "X": X, "y": y})
         assert ack["iteration"] >= 1
