@@ -214,6 +214,10 @@ class PosteriorState(NamedTuple):
 
     theta: jnp.ndarray
     L: jnp.ndarray
+    L_inv: jnp.ndarray     # (n_pad, n_pad): explicit L^-1 so per-query MSE is
+                           # a GEMM on the MXU instead of a triangular solve
+                           # (solves are an O(n)-deep dependency chain on TPU —
+                           # they dominated acquisition-argmax latency)
     Ft: jnp.ndarray
     G: jnp.ndarray
     beta: jnp.ndarray      # (p, m)
@@ -239,9 +243,10 @@ def posterior_state(
     scale = sigma2 / jnp.maximum(sigma2_total, 1e-300)
     gamma = solve_triangular(aux.L.T, aux.rho, lower=False) * scale[None, :]
     gamma = gamma * mask[:, None]
+    L_inv = solve_triangular(aux.L, jnp.eye(aux.L.shape[0], dtype=dtype), lower=True)
     return PosteriorState(
-        theta=theta, L=aux.L, Ft=aux.Ft, G=aux.G, beta=aux.beta, gamma=gamma,
-        sigma2=sigma2, noise_var=nv, scale=scale, X=X, mask=mask,
+        theta=theta, L=aux.L, L_inv=L_inv, Ft=aux.Ft, G=aux.G, beta=aux.beta,
+        gamma=gamma, sigma2=sigma2, noise_var=nv, scale=scale, X=X, mask=mask,
     )
 
 
@@ -264,7 +269,7 @@ def predict(
     mu = jnp.dot(Fq, state.beta, precision=hi) + jnp.dot(r0, state.gamma, precision=hi)
     if not eval_mse:
         return mu, None
-    rt = solve_triangular(state.L, r0.T, lower=True)  # (n_pad, Nq)
+    rt = jnp.dot(state.L_inv, r0.T, precision=hi)  # (n_pad, Nq), pure GEMM
     reduction = jnp.sum(rt * rt, axis=0)  # (Nq,)
     if config.estimate_trend:
         u = solve_triangular(
