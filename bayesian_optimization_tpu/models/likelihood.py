@@ -220,6 +220,10 @@ class PosteriorState(NamedTuple):
                            # they dominated acquisition-argmax latency)
     Ft: jnp.ndarray
     G: jnp.ndarray
+    G_inv: jnp.ndarray     # (p, p): explicit G^-1 — the p x p triangular-solve
+                           # custom-call cannot be partitioned by GSPMD over a
+                           # population-sharded query axis (it forced an
+                           # all-gather per generation in sharded argmax loops)
     beta: jnp.ndarray      # (p, m)
     gamma: jnp.ndarray     # (n_pad, m): scale * L^-T rho
     sigma2: jnp.ndarray    # (m,)
@@ -244,9 +248,11 @@ def posterior_state(
     gamma = solve_triangular(aux.L.T, aux.rho, lower=False) * scale[None, :]
     gamma = gamma * mask[:, None]
     L_inv = solve_triangular(aux.L, jnp.eye(aux.L.shape[0], dtype=dtype), lower=True)
+    G_inv = solve_triangular(aux.G, jnp.eye(aux.G.shape[0], dtype=dtype), lower=False)
     return PosteriorState(
-        theta=theta, L=aux.L, L_inv=L_inv, Ft=aux.Ft, G=aux.G, beta=aux.beta,
-        gamma=gamma, sigma2=sigma2, noise_var=nv, scale=scale, X=X, mask=mask,
+        theta=theta, L=aux.L, L_inv=L_inv, Ft=aux.Ft, G=aux.G, G_inv=G_inv,
+        beta=aux.beta, gamma=gamma, sigma2=sigma2, noise_var=nv, scale=scale,
+        X=X, mask=mask,
     )
 
 
@@ -272,9 +278,10 @@ def predict(
     rt = jnp.dot(state.L_inv, r0.T, precision=hi)  # (n_pad, Nq), pure GEMM
     reduction = jnp.sum(rt * rt, axis=0)  # (Nq,)
     if config.estimate_trend:
-        u = solve_triangular(
-            state.G.T, jnp.dot(state.Ft.T, rt, precision=hi) - Fq.T, lower=True
-        )  # (p, Nq)
+        u = jnp.dot(
+            state.G_inv.T, jnp.dot(state.Ft.T, rt, precision=hi) - Fq.T,
+            precision=hi,
+        )  # (p, Nq), pure GEMM: (G^T)^-1 B = (G^-1)^T B
         correction = jnp.sum(u * u, axis=0)
     else:
         correction = jnp.zeros_like(reduction)

@@ -345,6 +345,14 @@ class AcquisitionArgmax:
 
             return shard_population(x0, self.mesh)
 
+        if self.mesh is not None:
+            # replicate the (small) posterior state across the mesh up front;
+            # otherwise it lives on device 0 and GSPMD inserts per-use
+            # broadcasts inside the generation loop
+            from ..parallel.mesh import replicated
+
+            state = jax.device_put(state, replicated(self.mesh))
+
         key = self._next_key()
         if self.method == "BFGS":
             x0 = shard(jax.random.uniform(key, (self.n_restart, dim), dtype))
