@@ -59,3 +59,47 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     ge.dryrun_multichip(8)
+
+
+def test_sharded_cma_argmax_loop_has_no_collectives():
+    """The generation loop of the population-CMA argmax must stay
+    communication-free under GSPMD: the only collective allowed is the final
+    best-of-population reduce at the top level. An unpartitionable op in the
+    predict path (e.g. a triangular-solve custom-call) silently reintroduces
+    an all-gather per generation and inverts multi-chip scaling."""
+    import jax.numpy as jnp
+
+    from bayesian_optimization_tpu.optim import argmax as am
+    from bayesian_optimization_tpu.parallel.mesh import (
+        make_particle_mesh, replicated, shard_population,
+    )
+
+    D, N = 3, 64
+    rng = np.random.default_rng(0)
+    X = rng.uniform(0, 1, (N, D))
+    y = np.sin(3 * X).sum(1)
+    gp = GaussianProcess(
+        mean=constant_trend(D), corr="matern",
+        thetaL=1e-3 * np.ones(D), thetaU=1e3 * np.ones(D),
+        nugget=1e-6, random_start=4, max_iter=15, random_state=0,
+    )
+    gp.fit(X, (y - y.mean()) / y.std())
+    mesh = make_particle_mesh()
+    enc = RealSpace([[0.0, 1.0]] * D).encoding()
+    key = jax.random.PRNGKey(0)
+    x0 = shard_population(jax.random.uniform(key, (256, D), jnp.float32), mesh)
+    state = jax.device_put(gp.posterior, replicated(mesh))
+    params = {"plugin": jnp.asarray(-1.0, jnp.float32)}
+    txt = am._cma_argmax.lower(
+        key, state, gp.config, enc, "EI", params, True,
+        x0, jnp.zeros(D), jnp.zeros(D), 16,
+    ).compile().as_text()
+    region = None
+    in_loop = []
+    for line in txt.splitlines():
+        if line.startswith("%") or line.startswith("ENTRY"):
+            region = line
+        if "all-gather" in line or "all-reduce(" in line or "all-to-all" in line:
+            if "region" in (region or ""):
+                in_loop.append(line.strip()[:80])
+    assert not in_loop, f"collectives inside the generation loop: {in_loop}"
