@@ -64,9 +64,68 @@ def _safe_sqrt(r2: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.maximum(r2, _SAFE_EPS))
 
 
+def _matern_half_integer(r: jnp.ndarray, nu: float) -> jnp.ndarray:
+    """Closed-form Matern for any half-integer nu = p + 1/2 — a degree-p
+    polynomial times exp(-s), fully on-device (no Bessel function needed):
+        K = exp(-s) * (p!/(2p)!) * sum_i (p+i)!/(i!(p-i)!) (2s)^(p-i),
+    s = sqrt(2 nu) r. Recovers the 1/2, 3/2, 5/2 specials and extends the
+    XLA path to 7/2, 9/2, ... (the reference only reaches these through
+    scipy's K_nu: kernel.py:203-209)."""
+    p = int(nu - 0.5)
+    s = math.sqrt(2.0 * nu) * r
+    poly = jnp.zeros_like(s)
+    for i in range(p + 1):
+        coef = math.factorial(p + i) / (math.factorial(i) * math.factorial(p - i))
+        poly = poly + coef * (2.0 * s) ** (p - i)
+    return (math.factorial(p) / math.factorial(2 * p)) * poly * jnp.exp(-s)
+
+
+def _matern_generic_fn(nu: float) -> Callable:
+    """phi(s) = 2^(1-nu)/Gamma(nu) * s^nu * K_nu(s) for arbitrary nu > 0
+    (ref parity: kernel.py:203-209). K_nu has no XLA lowering, so phi is a
+    differentiable host callback: the full product is computed in float64
+    on host (s^nu alone under/overflows float32 near s=0), and the theta
+    gradient uses the Bessel identity d/ds [s^nu K_nu(s)] = -s^nu K_(nu-1)(s)
+    as a custom JVP. Slow relative to the on-device kernels — intended for
+    capability parity, not the hot path; prefer half-integer nu."""
+    c = 2.0 ** (1.0 - nu) / math.gamma(nu)
+
+    def _host(order: float, scale: float):
+        def host(sv):
+            import numpy as np
+            from scipy.special import kv
+
+            s64 = np.asarray(sv, dtype=np.float64)
+            with np.errstate(invalid="ignore", over="ignore"):
+                out = scale * s64 ** nu * kv(order, s64)
+            # s -> 0 limit: phi -> 1 for the primal, derivative -> 0
+            out = np.where(s64 <= 1e-12, 1.0 if order == nu else 0.0, out)
+            return np.nan_to_num(out, nan=1.0 if order == nu else 0.0).astype(sv.dtype)
+
+        return host
+
+    @jax.custom_jvp
+    def phi(s):
+        return jax.pure_callback(
+            _host(nu, c), jax.ShapeDtypeStruct(s.shape, s.dtype), s,
+            vmap_method="expand_dims",
+        )
+
+    @phi.defjvp
+    def phi_jvp(primals, tangents):
+        (s,), (sd,) = primals, tangents
+        dphi = jax.pure_callback(
+            _host(nu - 1.0, -c), jax.ShapeDtypeStruct(s.shape, s.dtype), s,
+            vmap_method="expand_dims",
+        )
+        return phi(s), dphi * sd
+
+    return phi
+
+
 def matern(theta, X, Y=None, nu: float = 1.5) -> jnp.ndarray:
     """Matern correlation with r = sqrt(sum_d theta_d dx_d^2)
-    (ref parity: kernel.py:159-244)."""
+    (ref parity: kernel.py:159-244, incl. the generic-nu branch :203-209)."""
     r2 = weighted_sq_dist(theta, X, Y)
     r = _safe_sqrt(r2)
     if nu == 0.5:
@@ -77,8 +136,12 @@ def matern(theta, X, Y=None, nu: float = 1.5) -> jnp.ndarray:
     elif nu == 2.5:
         s = math.sqrt(5.0) * r
         K = (1.0 + s + s * s / 3.0) * jnp.exp(-s)
+    elif nu > 0 and float(nu - 0.5).is_integer():
+        K = _matern_half_integer(r, float(nu))
+    elif nu > 0:
+        K = _matern_generic_fn(float(nu))(math.sqrt(2.0 * nu) * r)
     else:
-        raise ValueError(f"nu={nu} not supported on the XLA path (use 0.5/1.5/2.5)")
+        raise ValueError(f"matern requires nu > 0, got {nu}")
     if Y is None:
         K = _unit_diag(K)
     return K
@@ -144,10 +207,19 @@ _KERNELS: dict = {
 }
 
 
-def kernel_fn(name: str) -> Callable:
-    """Look up a kernel by (reference-compatible) name."""
+def kernel_fn(name) -> Callable:
+    """Look up a kernel by (reference-compatible) name. Also accepts a
+    callable, or a ("matern", nu) / ("generalized_exponential", power)
+    tuple for parameterized families."""
     if callable(name):
         return name
+    if isinstance(name, tuple) and len(name) == 2:
+        family, param = name
+        if family == "matern":
+            return partial(matern, nu=float(param))
+        if family == "generalized_exponential":
+            return partial(generalized_exponential, power=float(param))
+        raise ValueError(f"unknown parameterized kernel family {family!r}")
     if name not in _KERNELS:
         raise ValueError(f"unknown kernel {name!r}; available: {sorted(_KERNELS)}")
     return _KERNELS[name]

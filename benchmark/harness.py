@@ -91,9 +91,12 @@ def run_bo_on_problem(
     DoE_size: Optional[int] = None,
     seed: int = 0,
     optimizer_factory: Optional[Callable] = None,
+    coco_logger=None,
 ) -> Dict:
     """One BO run on one BBOB problem; returns the regret trace record
-    (ref parity: run_sequential.py:36-130 defaults)."""
+    (ref parity: run_sequential.py:36-130 defaults). If ``coco_logger`` is a
+    :class:`benchmark.coco_logger.COCOExperimentLogger`, the run also writes
+    cocopp-compatible .info/.dat/.tdat traces (ref: fgeneric.py)."""
     from bayesian_optimization_tpu import BO, RealSpace
     from bayesian_optimization_tpu.models import GaussianProcess, constant_trend
 
@@ -101,6 +104,13 @@ def run_bo_on_problem(
     DoE_size = DoE_size or 10 * dim
     problem = BBOBFunction(fid, dim, instance)
     logged = LoggedFunction(problem)
+    coco_run = None
+    if coco_logger is not None:
+        from .coco_logger import COCOLoggedFunction
+
+        coco_run = coco_logger.start_run(instance, problem.f_opt)
+        logged = COCOLoggedFunction(logged, coco_run)
+        logged.trace = logged.problem.trace  # keep the JSON trace too
     space = RealSpace([[-5.0, 5.0]] * dim, random_seed=seed)
     if optimizer_factory is not None:
         opt = optimizer_factory(space, logged, max_FEs, seed)
@@ -118,6 +128,8 @@ def run_bo_on_problem(
     t0 = time.perf_counter()
     opt.run()
     wall = time.perf_counter() - t0
+    if coco_run is not None:
+        coco_run.finalize()
     return {
         "fid": fid, "dim": dim, "instance": instance, "seed": seed,
         "max_FEs": max_FEs, "wall_s": wall, **logged.trace.to_dict(),
@@ -145,9 +157,12 @@ def run_suite(
     max_FEs: int = 50,
     seed: int = 0,
     out_file: Optional[str] = None,
+    coco_dir: Optional[str] = None,
 ) -> List[Dict]:
     """Run the (fid x dim x instance) grid, sharded across processes
-    (ref parity: run_mpi.py:87-116 rank->task mapping)."""
+    (ref parity: run_mpi.py:87-116 rank->task mapping). With ``coco_dir``,
+    each (fid, dim) experiment additionally writes cocopp-compatible
+    .info/.dat/.tdat files under that directory."""
     fids = fids or AVAILABLE_FIDS
     rank, world = _my_shard()
     tasks = [
@@ -157,10 +172,23 @@ def run_suite(
         for inst in instances
     ]
     records = []
+    loggers: Dict[Tuple[int, int], object] = {}
     for i, (fid, dim, inst) in enumerate(tasks):
         if i % world != rank:
             continue
-        rec = run_bo_on_problem(fid, dim, inst, max_FEs=max_FEs, seed=seed + inst)
+        coco_logger = None
+        if coco_dir is not None:
+            from .coco_logger import COCOExperimentLogger
+
+            if (fid, dim) not in loggers:
+                loggers[(fid, dim)] = COCOExperimentLogger(
+                    coco_dir, fid, dim,
+                    alg_id="bo-tpu", comments="max_FEs=%d seed=%d" % (max_FEs, seed),
+                )
+            coco_logger = loggers[(fid, dim)]
+        rec = run_bo_on_problem(
+            fid, dim, inst, max_FEs=max_FEs, seed=seed + inst, coco_logger=coco_logger,
+        )
         records.append(rec)
         if out_file:
             with open(out_file, "a") as f:
@@ -178,7 +206,8 @@ if __name__ == "__main__":
     ap.add_argument("--max-fes", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--coco-dir", default=None, help="write cocopp-compatible .info/.dat/.tdat here")
     args = ap.parse_args()
-    recs = run_suite(args.fids, tuple(args.dims), tuple(args.instances), args.max_fes, args.seed, args.out)
+    recs = run_suite(args.fids, tuple(args.dims), tuple(args.instances), args.max_fes, args.seed, args.out, args.coco_dir)
     for r in recs:
         print(json.dumps({k: r[k] for k in ("fid", "dim", "instance", "final_regret", "n_evals", "wall_s")}))

@@ -76,5 +76,37 @@ def test_bad_post_400(server):
 
 
 def test_health_endpoint(server):
-    out = _get(f"{server}/")
+    out = _get(f"{server}/health")
     assert out["status"] == "ok"
+
+
+def test_dashboard_html(server):
+    with urllib.request.urlopen(f"{server}/") as r:
+        assert "text/html" in r.headers["Content-Type"]
+        body = r.read().decode()
+    assert "Bayesian-optimization service" in body and "?status=null" in body
+
+
+def test_status_endpoint(server):
+    create = {
+        "search_param": {"x": {"type": "r", "range": [-5, 5], "N": 2}},
+        "bo_param": {"n_point": 1, "max_iter": 5, "DoE_size": 3, "random_seed": 1},
+    }
+    job_id = _post(server, create)["job_id"]
+    st = _get(f"{server}/?status=null&job_id={job_id}")["job"]
+    assert st["eval_count"] == 0 and st["best_so_far"] == [] and st["fopt"] is None
+
+    out = _get(f"{server}/?ask=null&job_id={job_id}")
+    y = [float(x["x0"] ** 2 + x["x1"] ** 2) for x in out["X"]]
+    _post(server, {"job_id": job_id, "X": out["X"], "y": y})
+
+    st = _get(f"{server}/?status=null&job_id={job_id}")["job"]
+    assert st["eval_count"] == len(y)
+    assert st["fopt"] == pytest.approx(min(y))
+    best = st["best_so_far"]  # one point per iteration (hist_f semantics)
+    assert best == [pytest.approx(min(y))]
+    assert all(a >= b for a, b in zip(best, best[1:]))
+
+    alljobs = _get(f"{server}/?status=null")["jobs"]
+    assert any(j["job_id"] == job_id for j in alljobs)
+    _get(f"{server}/?finalize=null&job_id={job_id}")
