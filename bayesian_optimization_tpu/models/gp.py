@@ -305,29 +305,40 @@ class GaussianProcess:
             else:
                 starts_b, iters_b = starts, self.max_iter
                 if self.multi_fidelity and n >= 512 and len(starts) > 4:
-                    # two-stage multi-fidelity MLE: explore every restart on a
-                    # random half of the observations (Cholesky is 8x cheaper),
-                    # then refine only the 4 best basins on the full data.
-                    # Replaces the reference's flat multi-restart budget
-                    # (gpr.py:1058-1197) with a successive-halving ladder.
-                    ns = n_pad // 2
-                    idx = self._rng.choice(n, size=ns, replace=False)
-                    Xs = jnp.asarray(Xp[idx], self.dtype)
-                    Ys = jnp.asarray(Yp[idx], self.dtype)
-                    Fs = self._trend_F(Xs)
-                    xs_all, fs_all = _explore_kernel(
-                        jnp.asarray(starts, self.dtype),
-                        jnp.asarray(bounds[:, 0], self.dtype),
-                        jnp.asarray(bounds[:, 1], self.dtype),
-                        Xs, Ys, Fs, jnp.ones(ns, self.dtype),
-                        jnp.asarray(float(ns), self.dtype),
-                        jnp.asarray(float(noise_var), self.dtype),
-                        beta0, config, max(5, self.max_iter // 2),
-                        self.max_linesearch_steps,
-                    )
-                    order = np.argsort(np.asarray(fs_all))
-                    starts_b = np.asarray(xs_all, dtype=float)[order[:4]]
-                    iters_b = max(5, self.max_iter // 2)
+                    # Multi-fidelity MLE: a successive-halving ladder over data
+                    # subsets replaces the reference's flat multi-restart budget
+                    # (gpr.py:1058-1197). Each halving of the subset makes the
+                    # Cholesky 8x cheaper, so wide exploration is nearly free
+                    # and only the best basins ever touch the full data.
+                    lo_b = jnp.asarray(bounds[:, 0], self.dtype)
+                    hi_b = jnp.asarray(bounds[:, 1], self.dtype)
+                    nv_j = jnp.asarray(float(noise_var), self.dtype)
+
+                    def _explore_on(ns, st, iters):
+                        idx = self._rng.choice(n, size=ns, replace=False)
+                        Xs = jnp.asarray(Xp[idx], self.dtype)
+                        Ys = jnp.asarray(Yp[idx], self.dtype)
+                        Fs = self._trend_F(Xs)
+                        xs, fs = _explore_kernel(
+                            jnp.asarray(st, self.dtype), lo_b, hi_b,
+                            Xs, Ys, Fs, jnp.ones(ns, self.dtype),
+                            jnp.asarray(float(ns), self.dtype), nv_j,
+                            beta0, config, iters, self.max_linesearch_steps,
+                        )
+                        order = np.argsort(np.asarray(fs))
+                        return np.asarray(xs, dtype=float)[order]
+
+                    if n_pad // 4 >= 256:
+                        # 3 rungs: all restarts on n/4, top 6 on n/2, top 2 full
+                        xs = _explore_on(n_pad // 4, starts, max(5, self.max_iter // 2))
+                        xs = _explore_on(n_pad // 2, xs[:6], max(5, self.max_iter // 4))
+                        starts_b = xs[:2]
+                        iters_b = max(6, (3 * self.max_iter) // 10)
+                    else:
+                        # 2 rungs: all restarts on n/2, top 4 full
+                        xs = _explore_on(n_pad // 2, starts, max(5, self.max_iter // 2))
+                        starts_b = xs[:4]
+                        iters_b = max(5, self.max_iter // 2)
                 par, nll, state = _fit_kernel(
                     jnp.asarray(starts_b, self.dtype),
                     jnp.asarray(bounds[:, 0], self.dtype),
