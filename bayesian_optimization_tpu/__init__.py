@@ -22,7 +22,9 @@ from .core import (
     MultiAcquisitionBO, NoisyBO, ParallelBO, PCABO, SelfAdaptiveBO, Solution,
 )
 from .models import GaussianProcess
+from .models import trend
 from .models.random_forest import RandomForest, SurrogateAggregation
+from .ops.acquisition import EI, GEI, MGFI, PI, UCB, EpsilonPI
 from .fmin import fmin
 
 __all__ = [
@@ -33,7 +35,8 @@ __all__ = [
     "Solution", "BaseOptimizer", "BaseBO",
     "BO", "ParallelBO", "AnnealingBO", "SelfAdaptiveBO", "NoisyBO",
     "MultiAcquisitionBO", "MOBO", "MOBO_qEHVI", "PCABO", "ConditionalBO",
-    "GaussianProcess", "RandomForest", "SurrogateAggregation",
+    "GaussianProcess", "RandomForest", "SurrogateAggregation", "trend",
+    "EI", "PI", "EpsilonPI", "UCB", "MGFI", "GEI",
     "AskEmptyError", "FlatFitnessError", "RecommendationUnavailableError",
     "ObjectiveEvaluationError", "ConstraintEvaluationError",
 ]
