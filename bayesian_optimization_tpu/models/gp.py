@@ -431,6 +431,27 @@ class GaussianProcess:
         dmse = np.asarray(jax.grad(mse_fn)(x), dtype=float).reshape(-1, 1)
         return dmu, dmse
 
+    def Hessian(self, x):
+        """Hessian matrix (dim, dim) of the posterior mean at a single
+        point (ref parity: gpr.py:578-598); computed by autodiff instead
+        of the reference's hand-written trend/correlation Hessians."""
+        x = np.asarray(x, dtype=float)
+        if x.ndim == 2:
+            if x.shape[0] != 1:
+                raise ValueError("x must be a single point")
+            x = x.ravel()
+        if x.shape[0] != self._dim:
+            raise ValueError("x does not have the right size")
+        xj = jnp.asarray(x, self.dtype)
+        state, config = self._state, self._config_cache
+
+        def mu_fn(xx):
+            Xq = xx.reshape(1, -1)
+            mu, _ = _predict_impl(state, Xq, self._trend_F(Xq), config, False)
+            return jnp.sum(mu)
+
+        return np.asarray(jax.hessian(mu_fn)(xj), dtype=float)
+
     # -- device-side handles for fused acquisition programs ---------------
     @property
     def posterior(self) -> PosteriorState:
