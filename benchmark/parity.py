@@ -17,6 +17,12 @@ sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/benchmark/ref_shims")
 sys.path.insert(0, "/root/reference")
 
+# adapt the reference to the installed sklearn (API drift since v0.3.0)
+# so every config produces a real head-to-head; see ref_sklearn_compat.py
+import ref_sklearn_compat  # noqa: E402
+
+ref_sklearn_compat.apply()
+
 
 def sphere(x):
     return float(np.sum(np.asarray(x, dtype=float) ** 2))
