@@ -8,6 +8,37 @@ particle populations, and ask/evaluate/tell BO loops on top.
 """
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_persistent_compile_cache() -> None:
+    """Default-on persistent XLA compilation cache.
+
+    BO loops re-enter the same jitted fit/argmax programs across process
+    lifetimes; on TPU a single cold compile costs tens of seconds, so a
+    disk cache is the difference between a usable and an unusable CLI
+    experience. Users override via the standard JAX env vars/config
+    (JAX_COMPILATION_CACHE_DIR wins; BOTPU_NO_COMPILE_CACHE=1 disables).
+    """
+    if _os.environ.get("BOTPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            path = _os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR",
+                _os.path.join(_os.path.expanduser("~"), ".cache", "bo_tpu_xla"),
+            )
+            _os.makedirs(path, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 - cache is an optimization, never fatal
+        pass
+
+
+_enable_persistent_compile_cache()
+
 from .space import (
     Bool, BoolSpace, Discrete, DiscreteSpace, Integer, IntegerSpace, Node,
     Ordinal, OrdinalSpace, Real, RealSpace, SearchSpace, SpaceEncoding, Subset,

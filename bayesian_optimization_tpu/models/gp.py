@@ -49,12 +49,39 @@ def _predict_impl(state, Xq, Fq, config, eval_mse=True):
 from .trend import BasisExpansionTrend, NonparametricTrend, constant_trend
 
 
+def _mle_ladder_plan(n, n_pad, n_restarts, max_iter, multi_fidelity):
+    """Successive-halving MLE schedule shared by fit() and precompile().
+
+    Returns (rungs, final): rungs is a list of (ns, n_starts_in, iters)
+    explore stages on data subsets; final is (n_starts_in, iters) for the
+    full-data _fit_kernel stage."""
+    if multi_fidelity and n >= 512 and n_restarts > 4:
+        if n_pad // 4 >= 256:
+            # 3 rungs: all restarts on n/4, top 6 on n/2, top 2 on full data
+            return (
+                [(n_pad // 4, n_restarts, max(5, max_iter // 2)),
+                 (n_pad // 2, 6, max(5, max_iter // 4))],
+                (2, max(6, (3 * max_iter) // 10)),
+            )
+        # 2 rungs: all restarts on n/2, top 4 on full data
+        return (
+            [(n_pad // 2, n_restarts, max(5, max_iter // 2))],
+            (4, max(5, max_iter // 2)),
+        )
+    return [], (n_restarts, max_iter)
+
+
 def _bucket(n: int) -> int:
-    """Pad count n up to a size bucket to bound recompilation."""
-    for b in (8, 16, 32, 64):
-        if n <= b:
-            return b
-    return int(-(-n // 64) * 64)
+    """Pad count n up to a size bucket to bound recompilation.
+
+    Buckets are geometric (x4) because on TPU a recompile costs tens of
+    seconds while padded-Cholesky FLOPs are nearly free: a BO run from
+    DoE to max_FEs crosses at most a couple of buckets instead of
+    recompiling every 64 observations."""
+    b = 16
+    while b < n:
+        b *= 4
+    return b
 
 
 @partial(jax.jit, static_argnames=("config", "max_iter", "max_ls"))
@@ -176,6 +203,7 @@ class GaussianProcess:
         )
         self.is_fitted = False
         self._state: Optional[PosteriorState] = None
+        self._estimate_trend_user: Optional[bool] = None  # frozen on first _config()
 
         # estimation-mode resolution (ref parity: gpr.py:256-263)
         if self.noise_estim:
@@ -191,7 +219,18 @@ class GaussianProcess:
         from .trend import constant_trend as _ct, linear_trend as _lt, quadratic_trend as _qt
 
         mean = self.mean
-        estimate_trend = isinstance(mean, BasisExpansionTrend) and mean.estimate_coefficients
+        # Whether trend coefficients are GLS-estimated is decided ONCE from
+        # the user's constructor intent (beta=None) and then frozen: fit()
+        # writes the estimated beta back into the trend for prediction, and
+        # letting that writeback flip `estimate_coefficients` would (a) stop
+        # re-estimating the trend on refits (diverging from the reference,
+        # gpr.py:273-277) and (b) change this static config field, forcing a
+        # full XLA recompile on the second fit.
+        if self._estimate_trend_user is None:
+            self._estimate_trend_user = (
+                isinstance(mean, BasisExpansionTrend) and mean.estimate_coefficients
+            )
+        estimate_trend = self._estimate_trend_user
         n_basis = mean.n_basis if isinstance(mean, BasisExpansionTrend) else 1
         trend_name = {_ct: "constant", _lt: "linear", _qt: "quadratic"}.get(type(mean), "custom")
         return GPConfig(
@@ -256,11 +295,23 @@ class GaussianProcess:
         Yj = jnp.asarray(Yp, self.dtype)
         maskj = jnp.asarray(mask, self.dtype)
         Fj = self._trend_F(Xj) * maskj[:, None]
-        beta0 = (
-            self.mean.beta
-            if isinstance(self.mean, BasisExpansionTrend) and self.mean.beta is not None
-            else jnp.zeros(Fj.shape[1], self.dtype)
-        )
+        # beta0 is only consumed when the trend is NOT estimated; keep its
+        # shape fixed at (n_basis, m) across fits so refits reuse the
+        # compiled program instead of retracing on a (p,) -> (p, m) change.
+        if self._estimate_trend_user is None:
+            self._config(dim)  # freezes _estimate_trend_user
+        if (
+            not self._estimate_trend_user
+            and isinstance(self.mean, BasisExpansionTrend)
+            and self.mean.beta is not None
+            and self.mean.beta.size
+        ):
+            beta0 = jnp.broadcast_to(
+                jnp.asarray(self.mean.beta, self.dtype).reshape(Fj.shape[1], -1),
+                (Fj.shape[1], m),
+            )
+        else:
+            beta0 = jnp.zeros((Fj.shape[1], m), self.dtype)
 
         bounds = self._hyper_bounds(dim, y)
         n_par = n_hyper_params(dim, config)
@@ -303,42 +354,36 @@ class GaussianProcess:
                     beta0, config, 4 * self.max_iter,
                 )
             else:
-                starts_b, iters_b = starts, self.max_iter
-                if self.multi_fidelity and n >= 512 and len(starts) > 4:
-                    # Multi-fidelity MLE: a successive-halving ladder over data
-                    # subsets replaces the reference's flat multi-restart budget
-                    # (gpr.py:1058-1197). Each halving of the subset makes the
-                    # Cholesky 8x cheaper, so wide exploration is nearly free
-                    # and only the best basins ever touch the full data.
-                    lo_b = jnp.asarray(bounds[:, 0], self.dtype)
-                    hi_b = jnp.asarray(bounds[:, 1], self.dtype)
-                    nv_j = jnp.asarray(float(noise_var), self.dtype)
+                # Multi-fidelity MLE: a successive-halving ladder over data
+                # subsets replaces the reference's flat multi-restart budget
+                # (gpr.py:1058-1197). Each halving of the subset makes the
+                # Cholesky 8x cheaper, so wide exploration is nearly free
+                # and only the best basins ever touch the full data.
+                rungs, (n_final, iters_b) = _mle_ladder_plan(
+                    n, n_pad, len(starts), self.max_iter, self.multi_fidelity
+                )
+                lo_b = jnp.asarray(bounds[:, 0], self.dtype)
+                hi_b = jnp.asarray(bounds[:, 1], self.dtype)
+                nv_j = jnp.asarray(float(noise_var), self.dtype)
 
-                    def _explore_on(ns, st, iters):
-                        idx = self._rng.choice(n, size=ns, replace=False)
-                        Xs = jnp.asarray(Xp[idx], self.dtype)
-                        Ys = jnp.asarray(Yp[idx], self.dtype)
-                        Fs = self._trend_F(Xs)
-                        xs, fs = _explore_kernel(
-                            jnp.asarray(st, self.dtype), lo_b, hi_b,
-                            Xs, Ys, Fs, jnp.ones(ns, self.dtype),
-                            jnp.asarray(float(ns), self.dtype), nv_j,
-                            beta0, config, iters, self.max_linesearch_steps,
-                        )
-                        order = np.argsort(np.asarray(fs))
-                        return np.asarray(xs, dtype=float)[order]
+                def _explore_on(ns, st, iters):
+                    idx = self._rng.choice(n, size=ns, replace=False)
+                    Xs = jnp.asarray(Xp[idx], self.dtype)
+                    Ys = jnp.asarray(Yp[idx], self.dtype)
+                    Fs = self._trend_F(Xs)
+                    xs, fs = _explore_kernel(
+                        jnp.asarray(st, self.dtype), lo_b, hi_b,
+                        Xs, Ys, Fs, jnp.ones(ns, self.dtype),
+                        jnp.asarray(float(ns), self.dtype), nv_j,
+                        beta0, config, iters, self.max_linesearch_steps,
+                    )
+                    order = np.argsort(np.asarray(fs))
+                    return np.asarray(xs, dtype=float)[order]
 
-                    if n_pad // 4 >= 256:
-                        # 3 rungs: all restarts on n/4, top 6 on n/2, top 2 full
-                        xs = _explore_on(n_pad // 4, starts, max(5, self.max_iter // 2))
-                        xs = _explore_on(n_pad // 2, xs[:6], max(5, self.max_iter // 4))
-                        starts_b = xs[:2]
-                        iters_b = max(6, (3 * self.max_iter) // 10)
-                    else:
-                        # 2 rungs: all restarts on n/2, top 4 full
-                        xs = _explore_on(n_pad // 2, starts, max(5, self.max_iter // 2))
-                        starts_b = xs[:4]
-                        iters_b = max(5, self.max_iter // 2)
+                xs = starts
+                for ns, n_in, iters in rungs:
+                    xs = _explore_on(ns, xs[:n_in], iters)
+                starts_b = xs[:n_final]
                 par, nll, state = _fit_kernel(
                     jnp.asarray(starts_b, self.dtype),
                     jnp.asarray(bounds[:, 0], self.dtype),
@@ -372,7 +417,7 @@ class GaussianProcess:
         if (
             config.n_ensemble == 0
             and isinstance(self.mean, BasisExpansionTrend)
-            and self.mean.estimate_coefficients
+            and self._estimate_trend_user
         ):
             self.mean.beta = state.beta
         self.is_fitted = True
@@ -382,6 +427,67 @@ class GaussianProcess:
         return self
 
     # ------------------------------------------------------------------
+    def precompile(self, n: int, dim: int, m: int = 1) -> "GaussianProcess":
+        """Ahead-of-time compile every XLA program a BFGS-path fit() at
+        (n observations, dim features, m targets) will need, overlapping
+        the compilations in threads.
+
+        On TPU each cold XLA compile costs tens of seconds and fit() runs
+        its MLE-ladder stages sequentially (data-dependent), so a cold
+        first fit pays the SUM of the compile times. The stages' programs
+        are shape-static and independent, so compiling them concurrently
+        costs only the MAX. Compiled executables also land in the
+        persistent compile cache, which the subsequent fit() loads from.
+        No-op for non-BFGS optimizers.
+        """
+        if self.optimizer in ("HMC", "NUTS", "CMA"):
+            return self
+        import threading
+
+        if self.mean is None:
+            self.mean = constant_trend(dim)
+        if self.thetaL is None or self.thetaU is None:
+            raise ValueError("thetaL/thetaU are required")
+        if len(self.thetaL) == 1 and dim > 1:
+            self.thetaL = np.repeat(self.thetaL, dim)
+            self.thetaU = np.repeat(self.thetaU, dim)
+        config = self._config(dim)
+        n_pad = _bucket(n)
+        npar = n_hyper_params(dim, config)
+        nb = config.n_basis
+        R = self.random_start or max(10, dim)
+        rungs, (n_final, iters_b) = _mle_ladder_plan(
+            n, n_pad, R, self.max_iter, self.multi_fidelity
+        )
+
+        def sd(*shape):
+            return jax.ShapeDtypeStruct(shape, self.dtype)
+
+        def args_for(ns, n_st):
+            return (
+                sd(n_st, npar), sd(npar), sd(npar), sd(ns, dim), sd(ns, m),
+                sd(ns, nb), sd(ns), sd(), sd(), sd(nb, m),
+            )
+
+        jobs = [
+            (_explore_kernel, args_for(ns, n_in),
+             dict(config=config, max_iter=iters, max_ls=self.max_linesearch_steps))
+            for ns, n_in, iters in rungs
+        ]
+        jobs.append(
+            (_fit_kernel, args_for(n_pad, n_final),
+             dict(config=config, max_iter=iters_b, max_ls=self.max_linesearch_steps))
+        )
+        threads = [
+            threading.Thread(target=lambda f=f, a=a, k=k: f.lower(*a, **k).compile())
+            for f, a, k in jobs
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        return self
+
     def _predict_padded(self, X: np.ndarray, eval_mse: bool):
         nq = X.shape[0]
         nq_pad = _bucket(nq)

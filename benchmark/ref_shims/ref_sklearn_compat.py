@@ -1,19 +1,23 @@
 """Compatibility patches that let the REFERENCE (bayes_optim v0.3.0 at
 /root/reference) run against the sklearn installed here, so the parity
 runner can produce a real head-to-head instead of recording environment
-crashes. Each patch adapts an API that drifted since the reference was
-released; none changes reference behavior.
+crashes. The first two patches adapt APIs that drifted since the reference
+was released and do not change reference behavior; the third (r2_score) is
+deliberately GENEROUS to the reference: r2_score has always rejected NaN
+inputs, so the reference would crash on NaN predictions under its own era's
+sklearn too — the shim rescues it by scoring the finite subset so the parity
+run can continue.
 
 - sklearn >= 1.4 removed OneHotEncoder(sparse=...) in favor of
   sparse_output= (used by bayes_optim/surrogate/random_forest.py:102).
 - sklearn >= 1.0 rejects 1-D inputs to PCA.transform; the reference's
   PCABO passes single rows (bayes_optim/extension.py penalized acquisition
   path). We reshape to 2-D and restore the original shape.
-- sklearn's r2_score raises on NaN predictions; the reference's GP can
-  emit NaN rows mid-run (its tell() logs r2 unconditionally,
-  bayes_optim/base.py:444-446). We score on the finite subset so the run
-  continues (the reference's own acquisition already swallows NaN by
-  returning 0, acquisition_fun.py:136-137).
+- the reference's tell() logs r2 unconditionally (bayes_optim/base.py:
+  444-446) and its GP can emit NaN rows mid-run; we score on the finite
+  subset (1-D inputs only — multioutput calls fall through untouched) so
+  the run continues, mirroring how the reference's own acquisition swallows
+  NaN by returning 0 (acquisition_fun.py:136-137).
 
 Call apply() BEFORE importing bayes_optim.
 """
@@ -44,6 +48,11 @@ def apply() -> None:
                 if sparse is not None and "sparse_output" not in kwargs:
                     kwargs["sparse_output"] = sparse
                 super().__init__(**kwargs)
+                # `sparse` is in the synthesized __signature__ below, so
+                # get_params()/clone() will getattr(self, 'sparse'): the
+                # attribute must exist or every fit crashes (sklearn
+                # _validate_params -> get_params).
+                self.sparse = sparse
 
         _sig_params = [
             inspect.Parameter("self", inspect.Parameter.POSITIONAL_OR_KEYWORD)
@@ -95,6 +104,10 @@ def apply() -> None:
         def r2_score(y_true, y_pred, **kwargs):
             y_true = np.asarray(y_true, dtype=float)
             y_pred = np.asarray(y_pred, dtype=float)
+            if y_true.ndim != 1 or y_pred.ndim != 1:
+                # multioutput arrays: boolean-mask flattening would corrupt
+                # shape/scoring — leave those calls to the original.
+                return _r2(y_true, y_pred, **kwargs)
             ok = np.isfinite(y_true) & np.isfinite(y_pred)
             if ok.sum() < 2:
                 return float("nan")
