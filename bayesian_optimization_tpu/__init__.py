@@ -12,15 +12,27 @@ import os as _os
 
 
 def _enable_persistent_compile_cache() -> None:
-    """Default-on persistent XLA compilation cache.
+    """Persistent XLA compilation cache, on by default where it is safe.
 
     BO loops re-enter the same jitted fit/argmax programs across process
-    lifetimes; on TPU a single cold compile costs tens of seconds, so a
-    disk cache is the difference between a usable and an unusable CLI
-    experience. Users override via the standard JAX env vars/config
-    (JAX_COMPILATION_CACHE_DIR wins; BOTPU_NO_COMPILE_CACHE=1 disables).
+    lifetimes, so a disk cache saves the cold compiles. Users override via
+    the standard JAX env vars/config (JAX_COMPILATION_CACHE_DIR wins;
+    BOTPU_NO_COMPILE_CACHE=1 disables; BOTPU_COMPILE_CACHE=1 forces on).
+
+    Measured exception: under the remote-compile TPU plugin ("axon",
+    PJRT compiles proxied over a tunnel) the cache is actively harmful —
+    writing multi-MB executables through the tunnel multiplies cold-compile
+    wall-clock ~4x, and executables *deserialized* from the cache hang at
+    first execution (reproduced with a 30-iteration Cholesky fori_loop:
+    cold process 3.7 s, warm-cache process never returns). Skip it there
+    unless explicitly forced.
     """
     if _os.environ.get("BOTPU_NO_COMPILE_CACHE"):
+        return
+    remote_tpu = "axon" in _os.environ.get("JAX_PLATFORMS", "") or _os.environ.get(
+        "PALLAS_AXON_REMOTE_COMPILE"
+    )
+    if remote_tpu and not _os.environ.get("BOTPU_COMPILE_CACHE"):
         return
     try:
         import jax

@@ -23,6 +23,7 @@ TPU-first design:
 """
 from __future__ import annotations
 
+import os as _os
 from functools import partial
 from typing import Optional, Union
 
@@ -84,25 +85,34 @@ def _bucket(n: int) -> int:
     return b
 
 
-@partial(jax.jit, static_argnames=("config", "max_iter", "max_ls"))
-def _fit_kernel(x0_batch, lo, hi, X, Y, F, mask, n, noise_var, beta0, config, max_iter, max_ls=12):
-    nll = lambda p: neg_log_likelihood(p, X, Y, F, mask, n, noise_var, beta0, config)
-    res = minimize_restarts(
-        nll, x0_batch, lo, hi, max_iter=max_iter, max_linesearch_steps=max_ls
-    )
+@partial(jax.jit, static_argnames=("config", "plan", "max_ls"))
+def _ladder_kernel(x0_batch, lo, hi, stages, noise_var, beta0, config, plan, max_ls=12):
+    """Fused successive-halving MLE ladder: every explore rung AND the final
+    full-data stage run inside ONE XLA program — restarts are ranked and
+    culled between rungs by an on-device argsort+gather instead of a host
+    round trip. One executable to compile/load per fit shape (on the
+    remote-TPU tunnel here, first-load of each big executable is the
+    dominant cold-start cost, so fewer programs directly cuts it).
+
+    stages: tuple of (X, Y, F, mask, n) data tuples, one per plan entry,
+            full-data stage last.
+    plan:   static tuple of (n_starts_in, max_iter), aligned with stages.
+    """
+    xs = x0_batch
+    res = None
+    for i, (stage, (n_in, iters)) in enumerate(zip(stages, plan)):
+        X, Y, F, mask, n = stage
+        nll = lambda p, s=stage: neg_log_likelihood(
+            p, s[0], s[1], s[2], s[3], s[4], noise_var, beta0, config
+        )
+        res = minimize_restarts(
+            nll, xs[:n_in], lo, hi, max_iter=iters, max_linesearch_steps=max_ls
+        )
+        if i + 1 < len(plan):
+            xs = res.x[jnp.argsort(res.fun)]
+    X, Y, F, mask, n = stages[-1]
     state = posterior_state(res.x_best, X, Y, F, mask, n, noise_var, beta0, config)
     return res.x_best, res.fun_best, state
-
-
-@partial(jax.jit, static_argnames=("config", "max_iter", "max_ls"))
-def _explore_kernel(x0_batch, lo, hi, X, Y, F, mask, n, noise_var, beta0, config, max_iter, max_ls=12):
-    """Stage-A of the multi-fidelity MLE: all restarts on subsampled data;
-    returns every restart's endpoint + value for basin ranking."""
-    nll = lambda p: neg_log_likelihood(p, X, Y, F, mask, n, noise_var, beta0, config)
-    res = minimize_restarts(
-        nll, x0_batch, lo, hi, max_iter=max_iter, max_linesearch_steps=max_ls
-    )
-    return res.x, res.fun
 
 
 @partial(jax.jit, static_argnames=("config", "n_ensemble", "n_warmup"))
@@ -358,7 +368,8 @@ class GaussianProcess:
                 # subsets replaces the reference's flat multi-restart budget
                 # (gpr.py:1058-1197). Each halving of the subset makes the
                 # Cholesky 8x cheaper, so wide exploration is nearly free
-                # and only the best basins ever touch the full data.
+                # and only the best basins ever touch the full data. The
+                # whole ladder is ONE jitted program (_ladder_kernel).
                 rungs, (n_final, iters_b) = _mle_ladder_plan(
                     n, n_pad, len(starts), self.max_iter, self.multi_fidelity
                 )
@@ -366,31 +377,23 @@ class GaussianProcess:
                 hi_b = jnp.asarray(bounds[:, 1], self.dtype)
                 nv_j = jnp.asarray(float(noise_var), self.dtype)
 
-                def _explore_on(ns, st, iters):
+                stages = []
+                plan = []
+                for ns, n_in, iters in rungs:
                     idx = self._rng.choice(n, size=ns, replace=False)
                     Xs = jnp.asarray(Xp[idx], self.dtype)
                     Ys = jnp.asarray(Yp[idx], self.dtype)
-                    Fs = self._trend_F(Xs)
-                    xs, fs = _explore_kernel(
-                        jnp.asarray(st, self.dtype), lo_b, hi_b,
-                        Xs, Ys, Fs, jnp.ones(ns, self.dtype),
-                        jnp.asarray(float(ns), self.dtype), nv_j,
-                        beta0, config, iters, self.max_linesearch_steps,
-                    )
-                    order = np.argsort(np.asarray(fs))
-                    return np.asarray(xs, dtype=float)[order]
-
-                xs = starts
-                for ns, n_in, iters in rungs:
-                    xs = _explore_on(ns, xs[:n_in], iters)
-                starts_b = xs[:n_final]
-                par, nll, state = _fit_kernel(
-                    jnp.asarray(starts_b, self.dtype),
-                    jnp.asarray(bounds[:, 0], self.dtype),
-                    jnp.asarray(bounds[:, 1], self.dtype),
-                    Xj, Yj, Fj, maskj, jnp.asarray(float(n), self.dtype),
-                    jnp.asarray(float(noise_var), self.dtype),
-                    beta0, config, iters_b, self.max_linesearch_steps,
+                    stages.append((
+                        Xs, Ys, self._trend_F(Xs),
+                        jnp.ones(ns, self.dtype),
+                        jnp.asarray(float(ns), self.dtype),
+                    ))
+                    plan.append((n_in, iters))
+                stages.append((Xj, Yj, Fj, maskj, jnp.asarray(float(n), self.dtype)))
+                plan.append((n_final, iters_b))
+                par, nll, state = _ladder_kernel(
+                    jnp.asarray(starts, self.dtype), lo_b, hi_b, tuple(stages),
+                    nv_j, beta0, config, tuple(plan), self.max_linesearch_steps,
                 )
             ok = bool(np.isfinite(float(nll))) and bool(
                 np.all(np.isfinite(np.asarray(state.gamma)))
@@ -427,7 +430,9 @@ class GaussianProcess:
         return self
 
     # ------------------------------------------------------------------
-    def precompile(self, n: int, dim: int, m: int = 1) -> "GaussianProcess":
+    def precompile(
+        self, n: int, dim: int, m: int = 1, concurrent: bool = True
+    ) -> "GaussianProcess":
         """Ahead-of-time compile every XLA program a BFGS-path fit() at
         (n observations, dim features, m targets) will need, overlapping
         the compilations in threads.
@@ -436,8 +441,14 @@ class GaussianProcess:
         its MLE-ladder stages sequentially (data-dependent), so a cold
         first fit pays the SUM of the compile times. The stages' programs
         are shape-static and independent, so compiling them concurrently
-        costs only the MAX. Compiled executables also land in the
-        persistent compile cache, which the subsequent fit() loads from.
+        costs only the MAX. Each program is compiled by CALLING the jitted
+        kernel on throwaway inputs of the right shape — that lands the
+        executable in the jit call cache the subsequent fit() actually
+        consults (an AOT .lower().compile() would be discarded there and
+        the compile paid twice). The throwaway executions are sub-second on
+        TPU; on CPU backends they would cost a full fit's FLOPs, so there we
+        AOT-compile instead — CPU recompiles at call time are cheap and the
+        persistent compile cache (enabled on CPU) bridges AOT to call.
         No-op for non-BFGS optimizers.
         """
         if self.optimizer in ("HMC", "NUTS", "CMA"):
@@ -460,32 +471,59 @@ class GaussianProcess:
             n, n_pad, R, self.max_iter, self.multi_fidelity
         )
 
-        def sd(*shape):
-            return jax.ShapeDtypeStruct(shape, self.dtype)
+        def dummy(*shape):
+            # benign values: bounds [-1, 1], unit mask, n = row count — the
+            # throwaway execution must not hit degenerate-likelihood paths
+            return jnp.zeros(shape, self.dtype)
 
-        def args_for(ns, n_st):
+        def stage_for(ns):
             return (
-                sd(n_st, npar), sd(npar), sd(npar), sd(ns, dim), sd(ns, m),
-                sd(ns, nb), sd(ns), sd(), sd(), sd(nb, m),
+                dummy(ns, dim), dummy(ns, m), dummy(ns, nb),
+                jnp.ones((ns,), self.dtype),
+                jnp.asarray(float(ns), self.dtype),
             )
 
+        stages = tuple(stage_for(ns) for ns, _, _ in rungs) + (stage_for(n_pad),)
+        plan = tuple((n_in, iters) for _, n_in, iters in rungs) + ((n_final, iters_b),)
+        # the statics are appended POSITIONALLY, exactly as fit() passes
+        # them: jax's tracing cache keys on the (args, kwargs) pytree, so a
+        # keyword-passed `config=...` would never match fit's positional call
         jobs = [
-            (_explore_kernel, args_for(ns, n_in),
-             dict(config=config, max_iter=iters, max_ls=self.max_linesearch_steps))
-            for ns, n_in, iters in rungs
+            (_ladder_kernel, (
+                dummy(R, npar),
+                jnp.full((npar,), -1.0, self.dtype),
+                jnp.full((npar,), 1.0, self.dtype),
+                stages,
+                jnp.asarray(1e-6, self.dtype),
+                dummy(nb, m),
+                config, plan, self.max_linesearch_steps,
+            )),
         ]
-        jobs.append(
-            (_fit_kernel, args_for(n_pad, n_final),
-             dict(config=config, max_iter=iters_b, max_ls=self.max_linesearch_steps))
-        )
-        threads = [
-            threading.Thread(target=lambda f=f, a=a, k=k: f.lower(*a, **k).compile())
-            for f, a, k in jobs
-        ]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
+        on_tpu = jax.default_backend() == "tpu"
+
+        def warm(f, a):
+            if on_tpu:
+                jax.block_until_ready(f(*a))
+            else:
+                f.lower(*a).compile()
+
+        if _os.environ.get("PALLAS_AXON_REMOTE_COMPILE"):
+            # the remote compile service serializes requests, so threads buy
+            # nothing there — and concurrent RPCs have been observed to wedge
+            # the relay for minutes; warm sequentially instead
+            concurrent = False
+        if concurrent:
+            threads = [
+                threading.Thread(target=lambda f=f, a=a: warm(f, a))
+                for f, a in jobs
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+        else:
+            for f, a in jobs:
+                warm(f, a)
         return self
 
     def _predict_padded(self, X: np.ndarray, eval_mse: bool):

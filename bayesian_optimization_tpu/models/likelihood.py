@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
+from ..ops.linalg import chol_and_inv, whiten
 from .kernels import kernel_fn
 
 _LOG2PI = math.log(2.0 * math.pi)
@@ -89,6 +90,7 @@ def _masked_correlation(theta, X, mask, kern, jitter, dtype):
 
 class AuxState(NamedTuple):
     L: jnp.ndarray        # cholesky of R (masked)
+    L_inv: jnp.ndarray    # explicit L^-1 (ops/linalg.chol_and_inv)
     Yt: jnp.ndarray       # L^-1 y
     Ft: jnp.ndarray       # L^-1 F (or zeros when trend fixed)
     Q: jnp.ndarray        # economic QR of Ft
@@ -98,11 +100,17 @@ class AuxState(NamedTuple):
 
 
 def _aux(R, Y, F, beta0, config: GPConfig) -> AuxState:
-    """Cholesky + whitened GLS (ref parity: gpr.py:790-811)."""
+    """Cholesky + whitened GLS (ref parity: gpr.py:790-811).
+
+    Uses the compact GEMM-pyramid Cholesky (ops/linalg.py) instead of
+    jnp.linalg.cholesky + solve_triangular: XLA's expanders generate ~7-17 MB
+    of TPU code per call site, which made the fused fit program ~200 MB;
+    chol_and_inv is O(1) code, its explicit L^-1 turns every whitening solve
+    into a matmul, and its custom VJP is GEMM-only."""
     hi = jax.lax.Precision.HIGHEST  # bf16 matmul passes corrupt the GLS fit
-    L = jnp.linalg.cholesky(R)
-    Yt = solve_triangular(L, Y, lower=True)
-    Ft = solve_triangular(L, F, lower=True)
+    L, L_inv = chol_and_inv(R)
+    Yt = jnp.dot(L_inv, Y, precision=hi)
+    Ft = jnp.dot(L_inv, F, precision=hi)
     if config.estimate_trend:
         Q, G = jnp.linalg.qr(Ft, mode="reduced")
         beta = solve_triangular(G, jnp.dot(Q.T, Yt, precision=hi), lower=False)
@@ -113,7 +121,7 @@ def _aux(R, Y, F, beta0, config: GPConfig) -> AuxState:
         G = jnp.eye(p, dtype=R.dtype)
         beta = jnp.broadcast_to(beta0.reshape(p, -1), (p, Y.shape[1])).astype(R.dtype)
         rho = Yt - jnp.dot(Ft, beta, precision=hi)
-    return AuxState(L, Yt, Ft, Q, G, beta, rho)
+    return AuxState(L, L_inv, Yt, Ft, Q, G, beta, rho)
 
 
 def _resolve_variances(extra, rho, n, p, noise_var, config: GPConfig):
@@ -153,6 +161,32 @@ def _masked_logdet_L(L, mask):
     return jnp.sum(jnp.log(jnp.maximum(safe, 1e-300)))
 
 
+def _masked_logdet_d(d, mask):
+    safe = jnp.where(mask > 0, d, 1.0)
+    return jnp.sum(jnp.log(jnp.maximum(safe, 1e-300)))
+
+
+def _aux_nll(R, Y, F, mask, beta0, config: GPConfig):
+    """Whitened GLS for the LIKELIHOOD only: no L matrices escape, so the
+    factor+solve runs through ops/linalg.whiten — one compact blocked
+    program per eval instead of XLA's multi-MB cholesky/solve expansions.
+    Returns (logdet_L, Ft, G, beta, rho)."""
+    hi = jax.lax.Precision.HIGHEST
+    m = Y.shape[1]
+    d, W = whiten(R, jnp.concatenate([Y, F], axis=1))
+    Yt = W[:, :m]
+    Ft = W[:, m:]
+    if config.estimate_trend:
+        Q, G = jnp.linalg.qr(Ft, mode="reduced")
+        beta = solve_triangular(G, jnp.dot(Q.T, Yt, precision=hi), lower=False)
+    else:
+        p = F.shape[1]
+        G = jnp.eye(p, dtype=R.dtype)
+        beta = jnp.broadcast_to(beta0.reshape(p, -1), (p, m)).astype(R.dtype)
+    rho = Yt - jnp.dot(Ft, beta, precision=hi)
+    return _masked_logdet_d(d, mask), Ft, G, beta, rho
+
+
 def neg_log_likelihood(
     log10_par: jnp.ndarray,
     X: jnp.ndarray,
@@ -169,19 +203,18 @@ def neg_log_likelihood(
     dtype = X.dtype
     theta, extra = split_params(log10_par.astype(dtype), config)
     R = _correlation_for_mode(theta, extra, X, mask, noise_var, config, dtype)
-    aux = _aux(R, Y, F, beta0, config)
+    logdet_L, Ft_w, G_w, _beta, rho = _aux_nll(R, Y, F, mask, beta0, config)
     p = F.shape[1]
     m = Y.shape[1]
-    sigma2, nv, sigma2_total = _resolve_variances(extra, aux.rho, n, p, noise_var, config)
-    logdet_L = _masked_logdet_L(aux.L, mask)
-    m_ss = jnp.sum(aux.rho * aux.rho, axis=0)
+    sigma2, nv, sigma2_total = _resolve_variances(extra, rho, n, p, noise_var, config)
+    m_ss = jnp.sum(rho * rho, axis=0)
 
     if config.likelihood == "restricted":
         # REML (ref parity: gpr.py:849-869)
         if config.estimate_trend:
             FtF = jnp.dot(F.T, F, precision=jax.lax.Precision.HIGHEST)
             sign, logdet_FtF = jnp.linalg.slogdet(FtF)
-            logdet_G = jnp.sum(jnp.log(jnp.maximum(jnp.abs(jnp.diagonal(aux.G)), 1e-300)))
+            logdet_G = jnp.sum(jnp.log(jnp.maximum(jnp.abs(jnp.diagonal(G_w)), 1e-300)))
             ll = -0.5 * jnp.sum(
                 (n - p) * (jnp.log(sigma2_total) + _LOG2PI)
                 - logdet_FtF
@@ -245,9 +278,10 @@ def posterior_state(
     p = F.shape[1]
     sigma2, nv, sigma2_total = _resolve_variances(extra, aux.rho, n, p, noise_var, config)
     scale = sigma2 / jnp.maximum(sigma2_total, 1e-300)
-    gamma = solve_triangular(aux.L.T, aux.rho, lower=False) * scale[None, :]
+    hi = jax.lax.Precision.HIGHEST
+    gamma = jnp.dot(aux.L_inv.T, aux.rho, precision=hi) * scale[None, :]
     gamma = gamma * mask[:, None]
-    L_inv = solve_triangular(aux.L, jnp.eye(aux.L.shape[0], dtype=dtype), lower=True)
+    L_inv = aux.L_inv
     G_inv = solve_triangular(aux.G, jnp.eye(aux.G.shape[0], dtype=dtype), lower=False)
     return PosteriorState(
         theta=theta, L=aux.L, L_inv=L_inv, Ft=aux.Ft, G=aux.G, G_inv=G_inv,

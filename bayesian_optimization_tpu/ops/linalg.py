@@ -1,0 +1,292 @@
+"""Compact TPU Cholesky: factor + explicit triangular inverse as GEMMs.
+
+Why this exists: XLA's CholeskyExpander/TriangularSolveExpander generate
+enormous per-call-site TPU code — measured here, one jnp.linalg.cholesky at
+n=1024 is 6.9 MB of generated code and its gradient 17.4 MB, which ballooned
+the fused GP-fit program to ~200 MB (slow to compile AND slow to ship through
+the remote-TPU tunnel, where executable upload dominates cold-start). The
+reference implementation hits the same operations through LAPACK
+(ref: bayes_optim/surrogate/gaussian_process/gpr.py:790-811) — on TPU the
+idiomatic replacement is a fixed-shape blocked algorithm whose code size is
+O(1) in n:
+
+- `chol_and_inv(R)` returns (L, L_inv) for SPD R:
+  * panel loop (`lax.fori_loop`, n/128 iterations) with an unblocked
+    128-wide Cholesky (`fori_loop` over columns) per diagonal block;
+  * explicit L^-1 via the block-nilpotent identity: with D the block
+    diagonal of L and N = D^-1 L (unit block triangular, S = N - I
+    nilpotent with S^(n/128) = 0),  N^-1 = prod_k (I + (-S)^(2^k)) —
+    log2(n/128) squaring rounds of full-size matmuls on the MXU;
+  * a closed-form custom VJP (Iain Murray, "Differentiation of the
+    Cholesky decomposition", 2016, eq. 8 plus the d(L^-1) term), all GEMMs
+    against the saved L_inv — no triangular-solve expansion anywhere in
+    the backward pass either.
+
+With L_inv explicit, every downstream whitening solve (L^-1 y, L^-1 F,
+L^-T rho) is a plain matmul. Accuracy: an explicit triangular inverse is
+not backward-stable for ill-conditioned L, but the GP likelihood already
+guards non-finite values and escalates the nugget (models/gp.py), and the
+posterior path has used an explicit L_inv since round 1 (models/likelihood
+.PosteriorState). Validated against jnp.linalg.cholesky to ~1e-5 relative
+on representative kernel matrices (tests/test_linalg.py).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+BLOCK = 128
+
+
+def _chol_unblocked(S: jnp.ndarray) -> jnp.ndarray:
+    """Cholesky of a small SPD block by the Cholesky-Banachiewicz column
+    sweep as a fori_loop — O(1) generated code, vectorizes under vmap."""
+    b = S.shape[-1]
+    iota = jnp.arange(b)
+
+    def body(j, L):
+        row = jax.lax.dynamic_slice(L, (j, 0), (1, b))[0]
+        rj = row * (iota < j).astype(S.dtype)
+        sjj = jax.lax.dynamic_slice(S, (j, j), (1, 1))[0, 0]
+        # clamp keeps d >= 1e-6 so a (numerically) indefinite pivot cannot
+        # cascade into overflow/NaN in the nilpotent-squaring inverse; the
+        # factorization is wrong there, but finite, and the likelihood's
+        # non-finite/huge-value guard steers optimizers out of such regions
+        d = jnp.sqrt(jnp.maximum(sjj - jnp.dot(rj, rj), 1e-12))
+        scol = jax.lax.dynamic_slice(S, (0, j), (b, 1))[:, 0]
+        c = (scol - L @ rj) / d
+        col = jnp.where(iota == j, d, jnp.where(iota > j, c, 0.0))
+        return jax.lax.dynamic_update_slice(L, col[:, None], (0, j))
+
+    return jax.lax.fori_loop(0, b, body, jnp.zeros_like(S))
+
+
+def _tri_inv_unblocked(L: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of a small lower-triangular block via nilpotent squaring:
+    L = D(I + S) with S strictly lower => (I + S)^-1 = prod (I + (-S)^(2^k)).
+    log2(b) rounds of (b, b) matmuls — no TriangularSolveExpander code."""
+    b = L.shape[-1]
+    dinv = 1.0 / jnp.diagonal(L)
+    N = L * dinv[:, None]
+    eye = jnp.eye(b, dtype=L.dtype)
+    T = eye - N  # == -S, strictly lower
+    R = eye + T
+    P = T
+    for _ in range(max(0, int(math.ceil(math.log2(b))) - 1)):
+        P = P @ P
+        R = R + R @ P
+    return R * dinv[None, :]
+
+
+def _block_diag_apply(Binv: jnp.ndarray, L: jnp.ndarray, side: str) -> jnp.ndarray:
+    """Multiply by a block-diagonal matrix stored as (nb, b, b) batches."""
+    n = L.shape[-1]
+    nb, b = Binv.shape[0], Binv.shape[1]
+    if side == "left":  # D^-1 @ L : scale row blocks
+        return jnp.einsum("kij,kjn->kin", Binv, L.reshape(nb, b, n)).reshape(n, n)
+    # L @ D^-1 : scale column blocks
+    return jnp.einsum("nkj,kji->nki", L.reshape(n, nb, b), Binv).reshape(n, n)
+
+
+def _chol_and_inv_impl(R: jnp.ndarray):
+    # full f32 accumulation throughout: on TPU the default matmul precision
+    # runs bf16 passes, which corrupts triangular factors/inverses
+    with jax.default_matmul_precision("highest"):
+        return _chol_and_inv_hi(R)
+
+
+def _chol_and_inv_hi(R: jnp.ndarray):
+    n = R.shape[-1]
+    dtype = R.dtype
+    if n <= BLOCK:
+        L = _chol_unblocked(R)
+        return L, _tri_inv_unblocked(L)
+    assert n % BLOCK == 0, f"chol_and_inv requires n % {BLOCK} == 0, got {n}"
+    nb = n // BLOCK
+    iota = jnp.arange(n)
+
+    def panel(j, L):
+        jb = j * BLOCK
+        colmask = (iota < jb).astype(dtype)
+        Lrow = jax.lax.dynamic_slice(L, (jb, 0), (BLOCK, n)) * colmask[None, :]
+        S = jax.lax.dynamic_slice(R, (jb, jb), (BLOCK, BLOCK)) - Lrow @ Lrow.T
+        Ljj = _chol_unblocked(S)
+        Ljj_inv = _tri_inv_unblocked(Ljj)
+        Rcol = jax.lax.dynamic_slice(R, (0, jb), (n, BLOCK))
+        C = Rcol - (L * colmask[None, :]) @ Lrow.T
+        P = (C @ Ljj_inv.T) * (iota >= jb + BLOCK).astype(dtype)[:, None]
+        P = jax.lax.dynamic_update_slice(P, Ljj, (jb, 0))
+        return jax.lax.dynamic_update_slice(L, P, (0, jb))
+
+    L = jax.lax.fori_loop(0, nb, panel, jnp.zeros_like(R))
+
+    # explicit inverse: block-nilpotent squaring over the block structure
+    diag_blocks = jnp.stack([
+        jax.lax.dynamic_slice(L, (k * BLOCK, k * BLOCK), (BLOCK, BLOCK))
+        for k in range(nb)
+    ])
+    Dinv = jax.vmap(_tri_inv_unblocked)(diag_blocks)  # (nb, b, b)
+    N = _block_diag_apply(Dinv, L, "left")  # unit block-lower
+    eye = jnp.eye(n, dtype=dtype)
+    T = eye - N  # -S, strictly block-lower, T^(nb) = 0 off the identity part
+    Rm = eye + T
+    P = T
+    for _ in range(max(0, int(math.ceil(math.log2(nb))) - 1)):
+        P = P @ P
+        Rm = Rm + Rm @ P
+    L_inv = _block_diag_apply(Dinv, Rm, "right")
+    return L, L_inv
+
+
+@jax.custom_vjp
+def chol_and_inv(R: jnp.ndarray):
+    """(L, L_inv) of SPD R with O(1)-size generated code and GEMM-only VJP."""
+    return _chol_and_inv_impl(R)
+
+
+def _fwd(R):
+    L, L_inv = _chol_and_inv_impl(R)
+    return (L, L_inv), (L, L_inv)
+
+
+def _bwd(res, cots):
+    L, Li = res
+    Lb, Lib = cots
+    with jax.default_matmul_precision("highest"):
+        # cotangent contribution of L_inv: d(L^-1) = -L^-1 dL L^-1
+        Lb_total = jnp.tril(Lb) - jnp.tril(Li.T @ Lib @ Li.T)
+        M = L.T @ Lb_total
+        Phi = jnp.tril(M) - 0.5 * jnp.diag(jnp.diagonal(M))
+        Rb = Li.T @ Phi @ Li
+        return (0.5 * (Rb + Rb.T),)
+
+
+chol_and_inv.defvjp(_fwd, _bwd)
+
+
+def masked_logdet(L: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    d = jnp.diagonal(L)
+    safe = jnp.where(mask > 0, d, 1.0)
+    return jnp.sum(jnp.log(jnp.maximum(safe, 1e-300)))
+
+
+# ---------------------------------------------------------------------------
+# factor + solve without the full inverse: the likelihood hot path.
+# One likelihood eval needs L^-1 [Y F] (a handful of columns) and diag(L);
+# materializing the full L^-1 per eval costs ~6 extra full-size GEMMs of
+# code and FLOPs per call site. `whiten` factors once and forward-
+# substitutes block-wise — O(1) generated code — with a custom VJP built
+# from the same blocked solves (GEMM-only, no expander code, no O(n^2)
+# scan residuals).
+# ---------------------------------------------------------------------------
+
+
+def _factor(R: jnp.ndarray):
+    """Blocked Cholesky returning (L, Dinv) where Dinv stacks the inverses
+    of the 128-wide diagonal blocks of L (free by-products of the panel
+    loop, reused by every subsequent triangular solve)."""
+    n = R.shape[-1]
+    dtype = R.dtype
+    if n <= BLOCK:
+        L = _chol_unblocked(R)
+        return L, _tri_inv_unblocked(L)[None]
+    assert n % BLOCK == 0, f"_factor requires n % {BLOCK} == 0, got {n}"
+    nb = n // BLOCK
+    iota = jnp.arange(n)
+
+    def panel(j, carry):
+        L, Dinv = carry
+        jb = j * BLOCK
+        colmask = (iota < jb).astype(dtype)
+        Lrow = jax.lax.dynamic_slice(L, (jb, 0), (BLOCK, n)) * colmask[None, :]
+        S = jax.lax.dynamic_slice(R, (jb, jb), (BLOCK, BLOCK)) - Lrow @ Lrow.T
+        Ljj = _chol_unblocked(S)
+        Ljj_inv = _tri_inv_unblocked(Ljj)
+        Rcol = jax.lax.dynamic_slice(R, (0, jb), (n, BLOCK))
+        C = Rcol - (L * colmask[None, :]) @ Lrow.T
+        P = (C @ Ljj_inv.T) * (iota >= jb + BLOCK).astype(dtype)[:, None]
+        P = jax.lax.dynamic_update_slice(P, Ljj, (jb, 0))
+        return (
+            jax.lax.dynamic_update_slice(L, P, (0, jb)),
+            jax.lax.dynamic_update_slice(Dinv, Ljj_inv[None], (j, 0, 0)),
+        )
+
+    L0 = jnp.zeros_like(R)
+    D0 = jnp.zeros((nb, BLOCK, BLOCK), dtype)
+    return jax.lax.fori_loop(0, nb, panel, (L0, D0))
+
+
+def tri_solve_lower(L: jnp.ndarray, Dinv: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Solve L X = B by blocked forward substitution (compact fori_loop)."""
+    n = L.shape[-1]
+    nb = Dinv.shape[0]
+    b = n // nb
+    iota = jnp.arange(n)
+    dtype = L.dtype
+
+    def body(j, X):
+        jb = j * b
+        colmask = (iota < jb).astype(dtype)
+        Lrow = jax.lax.dynamic_slice(L, (jb, 0), (b, n)) * colmask[None, :]
+        Bj = jax.lax.dynamic_slice(B, (jb, 0), (b, B.shape[1])) - Lrow @ X
+        Xj = jax.lax.dynamic_index_in_dim(Dinv, j, keepdims=False) @ Bj
+        return jax.lax.dynamic_update_slice(X, Xj, (jb, 0))
+
+    return jax.lax.fori_loop(0, nb, body, jnp.zeros_like(B))
+
+
+def tri_solve_upper_t(L: jnp.ndarray, Dinv: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Solve L^T X = B by blocked backward substitution (compact)."""
+    n = L.shape[-1]
+    nb = Dinv.shape[0]
+    b = n // nb
+    iota = jnp.arange(n)
+    dtype = L.dtype
+
+    def body(i, X):
+        j = nb - 1 - i
+        jb = j * b
+        rowmask = (iota >= jb + b).astype(dtype)
+        Lcol = jax.lax.dynamic_slice(L, (0, jb), (n, b)) * rowmask[:, None]
+        Bj = jax.lax.dynamic_slice(B, (jb, 0), (b, B.shape[1])) - Lcol.T @ X
+        Xj = jax.lax.dynamic_index_in_dim(Dinv, j, keepdims=False).T @ Bj
+        return jax.lax.dynamic_update_slice(X, Xj, (jb, 0))
+
+    return jax.lax.fori_loop(0, nb, body, jnp.zeros_like(B))
+
+
+@jax.custom_vjp
+def whiten(R: jnp.ndarray, B: jnp.ndarray):
+    """(diag(L), L^-1 B) for SPD R = L L^T — the entire GP-likelihood
+    linear algebra in O(1) generated code with a GEMM-only VJP."""
+    with jax.default_matmul_precision("highest"):
+        L, Dinv = _factor(R)
+        return jnp.diagonal(L), tri_solve_lower(L, Dinv, B)
+
+
+def _whiten_fwd(R, B):
+    with jax.default_matmul_precision("highest"):
+        L, Dinv = _factor(R)
+        W = tri_solve_lower(L, Dinv, B)
+    return (jnp.diagonal(L), W), (L, Dinv, W)
+
+
+def _whiten_bwd(res, cots):
+    L, Dinv, W = res
+    dbar, Wbar = cots
+    with jax.default_matmul_precision("highest"):
+        U = tri_solve_upper_t(L, Dinv, Wbar)  # L^-T Wbar
+        Bbar = U
+        Lbar = jnp.diag(dbar) - jnp.tril(U @ W.T)
+        M = L.T @ Lbar
+        Phi = jnp.tril(M) - 0.5 * jnp.diag(jnp.diagonal(M))
+        Y1 = tri_solve_upper_t(L, Dinv, Phi)          # L^-T Phi
+        Y2 = tri_solve_upper_t(L, Dinv, Y1.T).T       # (L^-T Phi) L^-1
+        Rbar = 0.5 * (Y2 + Y2.T)
+    return Rbar, Bbar
+
+
+whiten.defvjp(_whiten_fwd, _whiten_bwd)

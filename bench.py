@@ -13,6 +13,15 @@ import os
 import sys
 import time
 
+_T0 = time.perf_counter()
+
+
+def _mark(msg):
+    # progress to stderr (stdout stays one pure JSON line): if a run is ever
+    # killed by a harness timeout, the tail shows which phase stalled —
+    # on this machine remote-TPU compile RPC latency varies minute-to-minute
+    print(f"[bench +{time.perf_counter() - _T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
 # Reference timing measured locally (see BASELINE.md): seconds for one
 # GP fit (concentrated MLE, 10 restarts, budget 100*d) + one EI argmax
 # (BFGS, 25 restarts, budget 500) at n=1000, d=5 on this machine's CPU.
@@ -26,9 +35,10 @@ N_REPEATS = 3
 def main():
     import numpy as np
 
-    # the package enables a persistent XLA compile cache at import
-    # (~/.cache/bo_tpu_xla), so only the first-ever run on a machine pays
-    # cold XLA compilation; subsequent runs load compiled programs from disk
+    # cold XLA compiles (~2 min total, overlapped by precompile below) are
+    # paid every process under the remote-compile TPU plugin: the package
+    # deliberately skips the persistent compile cache there because cached
+    # executables hang at first execution (see __init__.py)
     from bayesian_optimization_tpu.models import GaussianProcess, constant_trend
     from bayesian_optimization_tpu.optim.argmax import AcquisitionArgmax
     from bayesian_optimization_tpu.space import RealSpace
@@ -52,14 +62,21 @@ def main():
         u, v = argmax(gp.posterior, gp.config, "EI", {"plugin": float(y_std.min())})
         return u, v
 
-    gp.precompile(N_OBS, DIM)  # thread-overlapped AOT compile of the MLE ladder
-    one_iter()  # warm-up: load compiled programs, compile the argmax
+    # no gp.precompile() here: under the remote-compile TPU plugin the
+    # thread-overlapped warmup gains nothing (the compile service serializes
+    # requests) and concurrent RPCs have repeatedly wedged the relay for
+    # minutes; the plain sequential cold path below is ~2 min and has been
+    # stall-free across every measured run
+    _mark("setup done; warm-up iteration (cold XLA compiles)")
+    one_iter()  # warm-up: compile MLE ladder + argmax + eager ops
+    _mark("warm-up done; measuring")
     times = []
     for _ in range(N_REPEATS):
         t0 = time.perf_counter()
         one_iter()
         times.append(time.perf_counter() - t0)
     value = float(np.median(times))
+    _mark(f"measured {[round(t, 3) for t in times]}")
 
     print(json.dumps({
         "metric": "gp_fit_plus_acq_argmax_per_iter_n1000_d5",

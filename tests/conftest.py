@@ -8,6 +8,10 @@ do work — use those.
 import os
 
 os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+# the suite is pinned to CPU below, where the persistent compile cache is
+# safe and saves minutes of recompiles; the package skips it by default
+# under the remote-compile TPU plugin (see bayesian_optimization_tpu/__init__)
+os.environ.setdefault("BOTPU_COMPILE_CACHE", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
