@@ -262,13 +262,13 @@ def tri_solve_upper_t(L: jnp.ndarray, Dinv: jnp.ndarray, B: jnp.ndarray) -> jnp.
 def whiten(R: jnp.ndarray, B: jnp.ndarray):
     """(diag(L), L^-1 B) for SPD R = L L^T — the entire GP-likelihood
     linear algebra in O(1) generated code with a GEMM-only VJP."""
-    with jax.default_matmul_precision("highest"):
+    with jax.default_matmul_precision("high"):
         L, Dinv = _factor(R)
         return jnp.diagonal(L), tri_solve_lower(L, Dinv, B)
 
 
 def _whiten_fwd(R, B):
-    with jax.default_matmul_precision("highest"):
+    with jax.default_matmul_precision("high"):
         L, Dinv = _factor(R)
         W = tri_solve_lower(L, Dinv, B)
     return (jnp.diagonal(L), W), (L, Dinv, W)
@@ -277,7 +277,12 @@ def _whiten_fwd(R, B):
 def _whiten_bwd(res, cots):
     L, Dinv, W = res
     dbar, Wbar = cots
-    with jax.default_matmul_precision("highest"):
+    # default matmul precision: the MXU accumulates in f32 either way, the
+    # bf16 rounding only touches inputs (~2^-8 relative), and gradient
+    # direction quality at that level matched the reference throughout
+    # round 1 (XLA's expander VJPs run default-precision GEMMs internally);
+    # the 6-pass f32 emulation made this VJP 3x the cost of the whole fit
+    with jax.default_matmul_precision("default"):
         U = tri_solve_upper_t(L, Dinv, Wbar)  # L^-T Wbar
         Bbar = U
         Lbar = jnp.diag(dbar) - jnp.tril(U @ W.T)
