@@ -51,6 +51,33 @@ def _enable_persistent_compile_cache() -> None:
 
 _enable_persistent_compile_cache()
 
+_cache_safety_checked = False
+
+
+def _ensure_cache_safe_for_backend() -> None:
+    """Lazy second line of defense for the remote-compile hang: the env-var
+    check above runs at import, before JAX resolves a backend, so a remote
+    'axon' plugin activated by any OTHER mechanism would still get the
+    default-on cache (and hang at first cached-executable execution). Called
+    on the first model fit — by then the backend is resolved and cheap to
+    inspect — and turns the cache off if it turns out to be remote-axon."""
+    global _cache_safety_checked
+    if _cache_safety_checked:
+        return
+    _cache_safety_checked = True
+    if _os.environ.get("BOTPU_COMPILE_CACHE"):
+        return  # explicitly forced on
+    try:
+        import jax
+
+        if "axon" in jax.default_backend().lower() and (
+            jax.config.jax_compilation_cache_dir is not None
+        ):
+            jax.config.update("jax_compilation_cache_dir", None)
+    except Exception:  # noqa: BLE001 - diagnostics must never break fits
+        pass
+
+
 from .space import (
     Bool, BoolSpace, Discrete, DiscreteSpace, Integer, IntegerSpace, Node,
     Ordinal, OrdinalSpace, Real, RealSpace, SearchSpace, SpaceEncoding, Subset,

@@ -40,6 +40,7 @@ from ..utils import (
     RecommendationUnavailableError,
     get_logger,
 )
+from ..utils.expr import evaluate_size
 from ..utils.logging import PhaseTimer, timed_phase
 from ..utils.penalty import eval_constraints_host
 from .solution import Solution
@@ -76,7 +77,8 @@ class BaseOptimizer:
         self.minimize = minimize
         self.verbose = verbose
         if isinstance(max_FEs, str):
-            max_FEs = int(eval(max_FEs, {"dim": self.dim, "np": np}))
+            # "100*dim" convenience via the whitelisted-AST parser, NOT eval()
+            max_FEs = evaluate_size(max_FEs, self.dim)
         self.max_FEs = int(max_FEs) if max_FEs else np.inf
 
         self.random_seed = random_seed
@@ -205,7 +207,8 @@ class BaseBO(BaseOptimizer):
             raise ValueError("eval_type must be 'list' or 'dict'")
 
         if isinstance(DoE_size, str):
-            DoE_size = int(eval(DoE_size, {"dim": self.dim, "np": np}))
+            # "5*dim" convenience via the whitelisted-AST parser, NOT eval()
+            DoE_size = evaluate_size(DoE_size, self.dim)
         self._DoE_size = int(DoE_size) if DoE_size else int(self.dim * 5)
 
         self.acquisition_fun = acquisition_fun

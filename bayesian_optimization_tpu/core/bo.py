@@ -110,6 +110,8 @@ class SelfAdaptiveBO(ParallelBO):
     """t adapted from the top half of the batch (ref parity: bayes_opt.py:152-174)."""
 
     def _batch_arg_max_acquisition(self, n_point: int, fixed_units):
+        """All q t-sampled criteria in ONE jitted program (same fused path
+        as ParallelBO; the adaptation of t happens on the returned values)."""
         N = max(1, n_point // 2)
         ts, pars = [], []
         for _ in range(n_point):
@@ -118,11 +120,13 @@ class SelfAdaptiveBO(ParallelBO):
             par = copy(self._acquisition_par)
             par["t"] = t
             pars.append(self._acq_par_defaults(par))
-        results = [self._argmax_one(p, fixed_units) for p in pars]
-        values = [r[1] for r in results]
+        us, values = self._argmax.batch(
+            self.model.posterior, self.model.config, self.acquisition_fun,
+            pars, minimize=self.minimize, fixed=fixed_units,
+        )
         top = np.argsort(values)[::-1][:N]
         self._acquisition_par["t"] = min(float(np.mean([ts[i] for i in top])), MGFI_T_MAX)
-        return [r[0] for r in results], values
+        return us, values
 
 
 class MultiAcquisitionBO(BO):
@@ -145,17 +149,35 @@ class MultiAcquisitionBO(BO):
         }
 
     def _batch_arg_max_acquisition(self, n_point: int, fixed_units):
-        candidates, values = [], []
-        for i in range(n_point):
-            name = self._acquisition_pool[i % len(self._acquisition_pool)]
-            par = self._pool_sampler[name](self._pool_par[name])
+        """Round-robin criteria grouped per acquisition NAME, each group
+        maximized as ONE jitted batch program (the acquisition function is
+        jit-static, so q points cost at most len(pool)=2 program launches
+        instead of q)."""
+        slots = [
+            self._acquisition_pool[i % len(self._acquisition_pool)]
+            for i in range(n_point)
+        ]
+        candidates: List = [None] * n_point
+        values: List = [None] * n_point
+        for name in self._acquisition_pool:
+            idx = [i for i, s in enumerate(slots) if s == name]
+            if not idx:
+                continue
             self.acquisition_fun = name
             try:
-                u, v = self._argmax_one(self._acq_par_defaults(par), fixed_units)
+                pars = [
+                    self._acq_par_defaults(self._pool_sampler[name](self._pool_par[name]))
+                    for _ in idx
+                ]
+                us, vals = self._argmax.batch(
+                    self.model.posterior, self.model.config, name,
+                    pars, minimize=self.minimize, fixed=fixed_units,
+                )
             finally:
                 self.acquisition_fun = "MGFI"
-            candidates.append(u)
-            values.append(v)
+            for j, u, v in zip(idx, us, vals):
+                candidates[j] = u
+                values[j] = v
         return candidates, values
 
 

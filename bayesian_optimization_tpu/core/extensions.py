@@ -197,15 +197,23 @@ class PCABO(BO):
         return out
 
     def arg_max_acquisition(self, n_point=None, return_value: bool = False, fixed=None):
-        """Returns candidates in REDUCED-space coordinates."""
+        """Returns candidates in REDUCED-space coordinates. For q > 1 all q
+        argmaxes (independent restart pools of the same criterion) run as
+        ONE jitted batch program, like ParallelBO's q-criteria path."""
         n_point = self.n_point if n_point is None else int(n_point)
-        out = []
-        vals = []
-        for _ in range(n_point):
+        if n_point == 1:
             u, v = self._argmax_one(self._acq_par_defaults(self._acquisition_par), None)
+            us, vals = [u], [v]
+        else:
+            pars = [self._acq_par_defaults(dict(self._acquisition_par)) for _ in range(n_point)]
+            us, vals = self._argmax.batch(
+                self.model.posterior, self.model.config, self.acquisition_fun,
+                pars, minimize=self.minimize, fixed=None,
+            )
+        out = []
+        for u in us:
             z = self.encoding.decode_unit(np.asarray(u)[None, :])[0]
             out.append([float(x) for x in z])
-            vals.append(v)
         return (out, vals) if return_value else out
 
 

@@ -115,20 +115,26 @@ def _ladder_kernel(x0_batch, lo, hi, stages, noise_var, beta0, config, plan, max
     return res.x_best, res.fun_best, state
 
 
-@partial(jax.jit, static_argnames=("config", "n_ensemble", "n_warmup"))
-def _fit_kernel_hmc(key, x0_batch, lo, hi, X, Y, F, mask, n, noise_var, beta0, config, n_ensemble, n_warmup):
-    """Posterior over hyperparameters by vectorized adaptive HMC (north
-    star): chains = rows of x0_batch; returns a stacked PosteriorState of
-    n_ensemble samples plus the chain acceptance rate."""
-    from .hmc import hmc_sample
+@partial(jax.jit, static_argnames=("config", "n_ensemble", "n_warmup", "sampler"))
+def _fit_kernel_hmc(key, x0_batch, lo, hi, X, Y, F, mask, n, noise_var, beta0, config, n_ensemble, n_warmup, sampler="hmc"):
+    """Posterior over hyperparameters by vectorized adaptive HMC or NUTS
+    (north star): chains = rows of x0_batch; returns a stacked
+    PosteriorState of n_ensemble samples plus the chain acceptance rate."""
+    from .hmc import hmc_sample, nuts_sample
 
     logp = lambda p: -neg_log_likelihood(p, X, Y, F, mask, n, noise_var, beta0, config)
     C = x0_batch.shape[0]
     per_chain = max(1, -(-n_ensemble // C))
-    res = hmc_sample(
-        key, logp, x0_batch, lo, hi,
-        n_warmup=n_warmup, n_samples=per_chain, n_leapfrog=12, thin=2,
-    )
+    if sampler == "nuts":
+        res = nuts_sample(
+            key, logp, x0_batch, lo, hi,
+            n_warmup=n_warmup, n_samples=per_chain, max_depth=6, thin=2,
+        )
+    else:
+        res = hmc_sample(
+            key, logp, x0_batch, lo, hi,
+            n_warmup=n_warmup, n_samples=per_chain, n_leapfrog=12, thin=2,
+        )
     pars = res.samples.reshape(-1, x0_batch.shape[1])[:n_ensemble]  # (S, d)
     point_cfg = config._replace(n_ensemble=0)
     states = jax.vmap(
@@ -242,7 +248,15 @@ class GaussianProcess:
             )
         estimate_trend = self._estimate_trend_user
         n_basis = mean.n_basis if isinstance(mean, BasisExpansionTrend) else 1
-        trend_name = {_ct: "constant", _lt: "linear", _qt: "quadratic"}.get(type(mean), "custom")
+        if isinstance(mean, NonparametricTrend):
+            # residual GP: y - m(X) is fitted with a FIXED zero constant
+            # trend (simple kriging), m(Xq) added back at predict time
+            # (ref intent: trend.py:145-151 — the reference sets
+            # mean_type="nonparametric" at gpr.py:276-277 but never consumes
+            # it; here the residual route makes it actually work)
+            trend_name = "constant"
+        else:
+            trend_name = {_ct: "constant", _lt: "linear", _qt: "quadratic"}.get(type(mean), "custom")
         return GPConfig(
             kernel=self.corr_type if isinstance(self._corr, str) else self._corr,
             mode=self.estimation_mode,
@@ -256,12 +270,13 @@ class GaussianProcess:
     def _trend_F(self, X: jnp.ndarray) -> jnp.ndarray:
         if isinstance(self.mean, BasisExpansionTrend):
             return self.mean.F(X)
+        # NonparametricTrend (residual GP) and default: constant basis
         return jnp.ones((X.shape[0], 1), X.dtype)
 
-    def _prior_mean_values(self, X: jnp.ndarray) -> jnp.ndarray:
-        """Used only when trend coefficients are fixed/nonparametric."""
+    def _prior_mean(self, X: np.ndarray) -> Optional[np.ndarray]:
+        """m(X) of a nonparametric prior trend, (n, m); None otherwise."""
         if isinstance(self.mean, NonparametricTrend):
-            return self.mean(X)
+            return np.asarray(self.mean(X), dtype=float).reshape(X.shape[0], -1)
         return None
 
     # ------------------------------------------------------------------
@@ -276,6 +291,9 @@ class GaussianProcess:
         return np.concatenate(rows, axis=0)
 
     def fit(self, X, y) -> "GaussianProcess":
+        from .. import _ensure_cache_safe_for_backend
+
+        _ensure_cache_safe_for_backend()
         X = np.asarray(X, dtype=float)
         y = np.asarray(y, dtype=float)
         if X.ndim == 1:
@@ -286,6 +304,11 @@ class GaussianProcess:
         m = y.shape[1]
         if self.mean is None:
             self.mean = constant_trend(dim)
+        # nonparametric prior mean: fit the GP on residuals y - m(X)
+        # (simple kriging on the residual process); predict adds m back
+        prior = self._prior_mean(X)
+        if prior is not None:
+            y = y - prior
         if self.thetaL is None or self.thetaU is None:
             raise ValueError("thetaL/thetaU are required for fitting")
         if len(self.thetaL) == 1 and dim > 1:
@@ -348,6 +371,7 @@ class GaussianProcess:
                     Xj, Yj, Fj, maskj, jnp.asarray(float(n), self.dtype),
                     jnp.asarray(float(noise_var), self.dtype),
                     beta0, config, S, getattr(self, "hmc_warmup", 150),
+                    "nuts" if self.optimizer == "NUTS" else "hmc",
                 )
                 self.accept_rate_ = np.asarray(acc, dtype=float)
                 self.theta_samples_ = np.asarray(10.0 ** np.asarray(par_s)[:, :dim])
@@ -395,8 +419,18 @@ class GaussianProcess:
                     jnp.asarray(starts, self.dtype), lo_b, hi_b, tuple(stages),
                     nv_j, beta0, config, tuple(plan), self.max_linesearch_steps,
                 )
-            ok = bool(np.isfinite(float(nll))) and bool(
-                np.all(np.isfinite(np.asarray(state.gamma)))
+            # nll >= 1e11 means every restart ended in the likelihood's
+            # penalty region (non-finite OR clamped-pivot factorization);
+            # state.min_pivot re-checks the factorization at the CHOSEN
+            # hyperparameters, where the clamp keeps everything finite and
+            # isfinite alone cannot fire (advisor finding r2)
+            from .likelihood import PIV_TOL as _PIV_TOL
+
+            ok = (
+                bool(np.isfinite(float(nll)))
+                and float(nll) < 1e11
+                and bool(np.all(np.isfinite(np.asarray(state.gamma))))
+                and float(np.min(np.asarray(state.min_pivot))) > _PIV_TOL
             )
             if ok:
                 break
@@ -430,30 +464,23 @@ class GaussianProcess:
         return self
 
     # ------------------------------------------------------------------
-    def precompile(
-        self, n: int, dim: int, m: int = 1, concurrent: bool = True
-    ) -> "GaussianProcess":
-        """Ahead-of-time compile every XLA program a BFGS-path fit() at
-        (n observations, dim features, m targets) will need, overlapping
-        the compilations in threads.
-
-        On TPU each cold XLA compile costs tens of seconds and fit() runs
-        its MLE-ladder stages sequentially (data-dependent), so a cold
-        first fit pays the SUM of the compile times. The stages' programs
-        are shape-static and independent, so compiling them concurrently
-        costs only the MAX. Each program is compiled by CALLING the jitted
-        kernel on throwaway inputs of the right shape — that lands the
-        executable in the jit call cache the subsequent fit() actually
-        consults (an AOT .lower().compile() would be discarded there and
-        the compile paid twice). The throwaway executions are sub-second on
-        TPU; on CPU backends they would cost a full fit's FLOPs, so there we
-        AOT-compile instead — CPU recompiles at call time are cheap and the
-        persistent compile cache (enabled on CPU) bridges AOT to call.
+    def precompile(self, n: int, dim: int, m: int = 1) -> "GaussianProcess":
+        """Ahead-of-time compile the one XLA program a BFGS-path fit() at
+        (n observations, dim features, m targets) needs: the fused
+        `_ladder_kernel` (every MLE rung + the posterior state run inside a
+        single executable since round 2, so there is exactly one compile to
+        warm). The program is compiled by CALLING the jitted kernel on
+        throwaway inputs of the right shape — that lands the executable in
+        the jit call cache the subsequent fit() actually consults (an AOT
+        .lower().compile() would be discarded there and the compile paid
+        twice). The throwaway execution is sub-second on TPU; on CPU
+        backends it would cost a full fit's FLOPs, so there we AOT-compile
+        instead — CPU recompiles at call time are cheap and the persistent
+        compile cache (enabled on CPU) bridges AOT to call.
         No-op for non-BFGS optimizers.
         """
         if self.optimizer in ("HMC", "NUTS", "CMA"):
             return self
-        import threading
 
         if self.mean is None:
             self.mean = constant_trend(dim)
@@ -472,13 +499,23 @@ class GaussianProcess:
         )
 
         def dummy(*shape):
-            # benign values: bounds [-1, 1], unit mask, n = row count — the
-            # throwaway execution must not hit degenerate-likelihood paths
             return jnp.zeros(shape, self.dtype)
+
+        def grid(ns):
+            # non-degenerate dummy X: a low-discrepancy (golden-ratio
+            # Kronecker) point set, so the warm-path execution factorizes a
+            # well-conditioned kernel matrix instead of the rank-1 all-ones
+            # matrix all-zero X would produce (which exercises the clamped-
+            # pivot penalty path, not the one fit() takes on real data)
+            i = jnp.arange(1, ns + 1, dtype=self.dtype)[:, None]
+            alpha = jnp.asarray(
+                [(0.5 * (np.sqrt(5) - 1)) ** (k + 1) for k in range(dim)], self.dtype
+            )[None, :]
+            return (i * alpha) % 1.0
 
         def stage_for(ns):
             return (
-                dummy(ns, dim), dummy(ns, m), dummy(ns, nb),
+                grid(ns), dummy(ns, m), jnp.ones((ns, nb), self.dtype),
                 jnp.ones((ns,), self.dtype),
                 jnp.asarray(float(ns), self.dtype),
             )
@@ -500,30 +537,11 @@ class GaussianProcess:
             )),
         ]
         on_tpu = jax.default_backend() == "tpu"
-
-        def warm(f, a):
+        for f, a in jobs:
             if on_tpu:
                 jax.block_until_ready(f(*a))
             else:
                 f.lower(*a).compile()
-
-        if _os.environ.get("PALLAS_AXON_REMOTE_COMPILE"):
-            # the remote compile service serializes requests, so threads buy
-            # nothing there — and concurrent RPCs have been observed to wedge
-            # the relay for minutes; warm sequentially instead
-            concurrent = False
-        if concurrent:
-            threads = [
-                threading.Thread(target=lambda f=f, a=a: warm(f, a))
-                for f, a in jobs
-            ]
-            for t in threads:
-                t.start()
-            for t in threads:
-                t.join()
-        else:
-            for f, a in jobs:
-                warm(f, a)
         return self
 
     def _predict_padded(self, X: np.ndarray, eval_mse: bool):
@@ -534,7 +552,11 @@ class GaussianProcess:
         Xj = jnp.asarray(Xq, self.dtype)
         Fq = self._trend_F(Xj)
         mu, mse = _predict_kernel(self._state, Xj, Fq, self._config_cache, eval_mse)
-        return mu[:nq], (mse[:nq] if mse is not None else None)
+        mu = mu[:nq]
+        prior = self._prior_mean(X)  # residual GP: add the prior mean back
+        if prior is not None:
+            mu = mu + jnp.asarray(prior, self.dtype)
+        return mu, (mse[:nq] if mse is not None else None)
 
     def predict(self, X, eval_MSE: bool = False):
         """BLUP mean (and MSE) at X: (n_eval, n_targets), squeezed to
@@ -575,10 +597,15 @@ class GaussianProcess:
         dmse = np.asarray(jax.grad(mse_fn)(x), dtype=float).reshape(-1, 1)
         return dmu, dmse
 
-    def Hessian(self, x):
-        """Hessian matrix (dim, dim) of the posterior mean at a single
-        point (ref parity: gpr.py:578-598); computed by autodiff instead
-        of the reference's hand-written trend/correlation Hessians."""
+    def Hessian(self, x, of: str = "mean"):
+        """Hessian matrix (dim, dim) of the posterior mean — or, with
+        of="mse", of the posterior variance — at a single point
+        (ref parity: gpr.py:578-598 provides the mean Hessian through
+        ~160 lines of hand-written trend/correlation second derivatives,
+        corr_Hessian gpr.py:663-734, and has no variance counterpart;
+        both are one jax.hessian call here)."""
+        if of not in ("mean", "mse"):
+            raise ValueError("of must be 'mean' or 'mse'")
         x = np.asarray(x, dtype=float)
         if x.ndim == 2:
             if x.shape[0] != 1:
@@ -589,12 +616,14 @@ class GaussianProcess:
         xj = jnp.asarray(x, self.dtype)
         state, config = self._state, self._config_cache
 
-        def mu_fn(xx):
+        def scalar_fn(xx):
             Xq = xx.reshape(1, -1)
-            mu, _ = _predict_impl(state, Xq, self._trend_F(Xq), config, False)
-            return jnp.sum(mu)
+            mu, mse = _predict_impl(
+                state, Xq, self._trend_F(Xq), config, of == "mse"
+            )
+            return jnp.sum(mu if of == "mean" else mse)
 
-        return np.asarray(jax.hessian(mu_fn)(xj), dtype=float)
+        return np.asarray(jax.hessian(scalar_fn)(xj), dtype=float)
 
     # -- device-side handles for fused acquisition programs ---------------
     @property
@@ -611,4 +640,24 @@ class GaussianProcess:
     def predict_jax(self, Xq: jnp.ndarray, eval_mse: bool = True):
         """Pure-JAX predict on device arrays (jit/vmap/grad-compatible);
         Xq: (Nq, dim) -> (mu[Nq, m], mse[Nq, m])."""
-        return _predict_impl(self._state, Xq, self._trend_F(Xq), self._config_cache, eval_mse)
+        mu, mse = _predict_impl(
+            self._state, Xq, self._trend_F(Xq), self._config_cache, eval_mse
+        )
+        if isinstance(self.mean, NonparametricTrend):
+            # a jax-traversable prior (our RandomForest) adds its mean
+            # inside the program; arbitrary host regressors cannot be
+            # traced — fail loudly instead of silently dropping the prior
+            from .random_forest import RandomForest, rf_predict
+
+            wrapped = self.mean.model
+            if isinstance(wrapped, RandomForest) and wrapped.is_fitted:
+                pm, _ = rf_predict(wrapped.posterior, Xq, wrapped.config)
+                mu = mu + pm.reshape(mu.shape)
+            else:
+                raise ValueError(
+                    "predict_jax with a NonparametricTrend requires the prior "
+                    "to wrap a fitted bayesian_optimization_tpu RandomForest "
+                    "(XLA tree traversal); host-only regressors work through "
+                    ".predict() but cannot run inside jitted programs"
+                )
+        return mu, mse

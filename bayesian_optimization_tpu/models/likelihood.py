@@ -36,6 +36,11 @@ from .kernels import kernel_fn
 
 _LOG2PI = math.log(2.0 * math.pi)
 
+# smallest acceptable raw Cholesky pivot: below this the 1e-12 clamp in
+# ops/linalg produced a wrong-but-finite factorization and the likelihood
+# value is garbage — penalize instead of trusting it (advisor finding r2)
+PIV_TOL = 1e-10
+
 
 class GPConfig(NamedTuple):
     """Static (hashable) GP configuration — safe to close over in jit."""
@@ -97,6 +102,8 @@ class AuxState(NamedTuple):
     G: jnp.ndarray
     beta: jnp.ndarray     # GLS trend coefficients (p, m)
     rho: jnp.ndarray      # residuals in whitened space (n_pad, m)
+    min_pivot: jnp.ndarray  # smallest raw Cholesky pivot; <= ~0 => clamped
+                            # (wrong) factorization (ops/linalg)
 
 
 def _aux(R, Y, F, beta0, config: GPConfig) -> AuxState:
@@ -108,7 +115,7 @@ def _aux(R, Y, F, beta0, config: GPConfig) -> AuxState:
     chol_and_inv is O(1) code, its explicit L^-1 turns every whitening solve
     into a matmul, and its custom VJP is GEMM-only."""
     hi = jax.lax.Precision.HIGHEST  # bf16 matmul passes corrupt the GLS fit
-    L, L_inv = chol_and_inv(R)
+    L, L_inv, min_pivot = chol_and_inv(R)
     Yt = jnp.dot(L_inv, Y, precision=hi)
     Ft = jnp.dot(L_inv, F, precision=hi)
     if config.estimate_trend:
@@ -121,7 +128,7 @@ def _aux(R, Y, F, beta0, config: GPConfig) -> AuxState:
         G = jnp.eye(p, dtype=R.dtype)
         beta = jnp.broadcast_to(beta0.reshape(p, -1), (p, Y.shape[1])).astype(R.dtype)
         rho = Yt - jnp.dot(Ft, beta, precision=hi)
-    return AuxState(L, L_inv, Yt, Ft, Q, G, beta, rho)
+    return AuxState(L, L_inv, Yt, Ft, Q, G, beta, rho, min_pivot)
 
 
 def _resolve_variances(extra, rho, n, p, noise_var, config: GPConfig):
@@ -155,12 +162,6 @@ def _correlation_for_mode(theta, extra, X, mask, noise_var, config: GPConfig, dt
     return (sigma2 * R0 + (noise_var + config.jitter) * eye) / (total + config.jitter)
 
 
-def _masked_logdet_L(L, mask):
-    d = jnp.diagonal(L)
-    safe = jnp.where(mask > 0, d, 1.0)
-    return jnp.sum(jnp.log(jnp.maximum(safe, 1e-300)))
-
-
 def _masked_logdet_d(d, mask):
     safe = jnp.where(mask > 0, d, 1.0)
     return jnp.sum(jnp.log(jnp.maximum(safe, 1e-300)))
@@ -170,10 +171,10 @@ def _aux_nll(R, Y, F, mask, beta0, config: GPConfig):
     """Whitened GLS for the LIKELIHOOD only: no L matrices escape, so the
     factor+solve runs through ops/linalg.whiten — one compact blocked
     program per eval instead of XLA's multi-MB cholesky/solve expansions.
-    Returns (logdet_L, Ft, G, beta, rho)."""
+    Returns (logdet_L, Ft, G, beta, rho, min_pivot)."""
     hi = jax.lax.Precision.HIGHEST
     m = Y.shape[1]
-    d, W = whiten(R, jnp.concatenate([Y, F], axis=1))
+    d, W, min_pivot = whiten(R, jnp.concatenate([Y, F], axis=1))
     Yt = W[:, :m]
     Ft = W[:, m:]
     if config.estimate_trend:
@@ -184,7 +185,7 @@ def _aux_nll(R, Y, F, mask, beta0, config: GPConfig):
         G = jnp.eye(p, dtype=R.dtype)
         beta = jnp.broadcast_to(beta0.reshape(p, -1), (p, m)).astype(R.dtype)
     rho = Yt - jnp.dot(Ft, beta, precision=hi)
-    return _masked_logdet_d(d, mask), Ft, G, beta, rho
+    return _masked_logdet_d(d, mask), Ft, G, beta, rho, min_pivot
 
 
 def neg_log_likelihood(
@@ -203,7 +204,7 @@ def neg_log_likelihood(
     dtype = X.dtype
     theta, extra = split_params(log10_par.astype(dtype), config)
     R = _correlation_for_mode(theta, extra, X, mask, noise_var, config, dtype)
-    logdet_L, Ft_w, G_w, _beta, rho = _aux_nll(R, Y, F, mask, beta0, config)
+    logdet_L, Ft_w, G_w, _beta, rho, min_pivot = _aux_nll(R, Y, F, mask, beta0, config)
     p = F.shape[1]
     m = Y.shape[1]
     sigma2, nv, sigma2_total = _resolve_variances(extra, rho, n, p, noise_var, config)
@@ -226,7 +227,9 @@ def neg_log_likelihood(
             ll = -0.5 * jnp.sum(
                 n * (jnp.log(sigma2_total) + _LOG2PI) + 2.0 * logdet_L + m_ss / sigma2_total
             )
-        return -ll
+        nll = -ll
+        ok = jnp.isfinite(nll) & (min_pivot > PIV_TOL)
+        return jnp.where(ok, nll, jnp.asarray(1e12, dtype))
 
     # concentrated (ref parity: gpr.py:920-985)
     if config.mode == "noisy":
@@ -237,9 +240,15 @@ def neg_log_likelihood(
         # sigma2(_total) concentrated out
         s2 = sigma2_total
         ll = -0.5 * jnp.sum(n * (jnp.log(jnp.maximum(s2, 1e-300)) + _LOG2PI) + 2.0 * logdet_L + n)
-    # guard: non-finite -> huge penalty so optimizers move away
+    # guard: non-finite OR a clamped-pivot (indefinite/near-singular R)
+    # factorization -> huge penalty so optimizers move away AND fit()'s
+    # ok-check still sees the degeneracy (the clamp keeps values finite,
+    # so isfinite alone can no longer fire; advisor finding r2). PIV_TOL
+    # sits well below legitimate f32 pivots of jittered correlation
+    # matrices (>= ~1e-7) but above the 1e-12 clamp floor.
     nll = -ll
-    return jnp.where(jnp.isfinite(nll), nll, jnp.asarray(1e12, dtype))
+    ok = jnp.isfinite(nll) & (min_pivot > PIV_TOL)
+    return jnp.where(ok, nll, jnp.asarray(1e12, dtype))
 
 
 class PosteriorState(NamedTuple):
@@ -264,6 +273,9 @@ class PosteriorState(NamedTuple):
     scale: jnp.ndarray     # sigma2 / sigma2_total
     X: jnp.ndarray
     mask: jnp.ndarray
+    min_pivot: jnp.ndarray  # smallest raw Cholesky pivot at the chosen
+                            # hyperparameters; <= PIV_TOL => the explicit
+                            # L_inv is garbage, fit() must escalate
 
 
 def posterior_state(
@@ -286,7 +298,7 @@ def posterior_state(
     return PosteriorState(
         theta=theta, L=aux.L, L_inv=L_inv, Ft=aux.Ft, G=aux.G, G_inv=G_inv,
         beta=aux.beta, gamma=gamma, sigma2=sigma2, noise_var=nv, scale=scale,
-        X=X, mask=mask,
+        X=X, mask=mask, min_pivot=aux.min_pivot,
     )
 
 

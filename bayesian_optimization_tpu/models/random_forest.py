@@ -30,24 +30,30 @@ class RFConfig(NamedTuple):
 
 
 class RFState(NamedTuple):
-    """Flattened forest: arrays shaped (n_trees, max_nodes)."""
+    """Flattened forest: arrays shaped (n_trees, max_nodes[, n_outputs])."""
 
     feature: jnp.ndarray    # int32; -1 => leaf
     threshold: jnp.ndarray  # f32
     left: jnp.ndarray       # int32
     right: jnp.ndarray      # int32
-    value: jnp.ndarray      # f32 leaf predictions
+    value: jnp.ndarray      # f32 leaf predictions (n_trees, max_nodes, m)
 
 
 def flatten_forest(estimators, dtype=jnp.float32):
-    """sklearn tree ensemble -> padded arrays + max depth."""
+    """sklearn tree ensemble -> padded arrays + max depth.
+
+    Keeps ALL outputs of each leaf (tree_.value[:, :, 0] is (n_nodes, m)),
+    so multi-output forests — the reference fits multi-objective y in one
+    forest (ref: random_forest.py:110-139, exercised by its test_mobo) —
+    predict every objective from one traversal."""
     n_trees = len(estimators)
     max_nodes = max(e.tree_.node_count for e in estimators)
+    m = estimators[0].tree_.value.shape[1]
     feature = np.full((n_trees, max_nodes), -1, np.int32)
     threshold = np.zeros((n_trees, max_nodes), np.float32)
     left = np.zeros((n_trees, max_nodes), np.int32)
     right = np.zeros((n_trees, max_nodes), np.int32)
-    value = np.zeros((n_trees, max_nodes), np.float32)
+    value = np.zeros((n_trees, max_nodes, m), np.float32)
     max_depth = 1
     for t, est in enumerate(estimators):
         tr = est.tree_
@@ -56,7 +62,7 @@ def flatten_forest(estimators, dtype=jnp.float32):
         threshold[t, :n] = tr.threshold
         left[t, :n] = tr.children_left
         right[t, :n] = tr.children_right
-        value[t, :n] = tr.value[:, 0, 0]
+        value[t, :n] = tr.value[:, :, 0]
         max_depth = max(max_depth, int(tr.max_depth))
     state = RFState(
         feature=jnp.asarray(feature),
@@ -86,17 +92,17 @@ def rf_predict_trees(state: RFState, X: jnp.ndarray, config: RFConfig) -> jnp.nd
             return jnp.where(is_leaf, idx, nxt)
 
         idx = jax.lax.fori_loop(0, config.max_depth, body, idx0)
-        return jnp.take_along_axis(state.value, idx[:, None], axis=1)[:, 0]
+        return jnp.take_along_axis(state.value, idx[:, None, None], axis=1)[:, 0, :]
 
     return jax.vmap(traverse)(X)
 
 
 def rf_predict(state: RFState, X: jnp.ndarray, config: RFConfig):
-    """(mu[N, 1], var[N, 1]): ensemble mean and across-tree variance
-    (ref parity: random_forest.py:140-155)."""
-    per_tree = rf_predict_trees(state, X, config)
-    mu = jnp.mean(per_tree, axis=1, keepdims=True)
-    var = jnp.var(per_tree, axis=1, keepdims=True)
+    """(mu[N, m], var[N, m]): ensemble mean and across-tree variance per
+    output (ref parity: random_forest.py:140-155)."""
+    per_tree = rf_predict_trees(state, X, config)  # (N, n_trees, m)
+    mu = jnp.mean(per_tree, axis=1)
+    var = jnp.var(per_tree, axis=1)
     return mu, var
 
 
@@ -155,7 +161,12 @@ class RandomForest:
         from sklearn.ensemble import RandomForestRegressor
 
         Xe = self._encode(X)
-        y = np.asarray(y, dtype=float).ravel()
+        # keep multi-output y 2-D: sklearn fits all outputs in one forest
+        # (ref parity: random_forest.py:110-139, MOBO-with-RF)
+        y = np.asarray(y, dtype=float)
+        self._m = 1 if y.ndim == 1 else y.shape[1]
+        if y.ndim == 2 and y.shape[1] == 1:
+            y = y.ravel()
         self._rf = RandomForestRegressor(
             n_estimators=self.n_estimators,
             max_features=min(self.max_features, 1.0),
@@ -171,11 +182,18 @@ class RandomForest:
 
     # ------------------------------------------------------------- predict
     def predict(self, X, eval_MSE: bool = False):
+        """(N,) / (N,) for single-output fits, (N, m) for multi-output
+        (matching GaussianProcess.predict's squeeze convention)."""
         Xe = jnp.asarray(self._encode(X), jnp.float32)
         mu, var = rf_predict(self._state, Xe, self._config)
-        mu = np.asarray(mu, dtype=float).ravel()
+        mu = np.asarray(mu, dtype=float)
+        if self._m == 1:
+            mu = mu.ravel()
         if eval_MSE:
-            return mu, np.asarray(var, dtype=float).ravel()
+            var = np.asarray(var, dtype=float)
+            if self._m == 1:
+                var = var.ravel()
+            return mu, var
         return mu
 
     # device-side handles mirroring GaussianProcess's interface

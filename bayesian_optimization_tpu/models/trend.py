@@ -80,10 +80,22 @@ class quadratic_trend(BasisExpansionTrend):
 
 
 class NonparametricTrend:
-    """Prior mean from any fitted regressor with .predict (host-side; used to
-    seed a GP with e.g. a random-forest mean, ref parity: trend.py:145-151)."""
+    """Prior mean from a fitted regressor with .predict: the GP subtracts
+    m(X) before fitting (residual / simple kriging) and adds it back in
+    predict (ref parity: trend.py:145-151 — the reference's version is
+    constructed but never consumed by its GPR; here it is functional).
 
-    def __init__(self, model):
+    Construct with a fitted model, or reference-style with (X, y) to fit a
+    20-tree random forest (our XLA-traversed RandomForest, so the prior
+    also works inside fused jitted acquisition programs)."""
+
+    def __init__(self, model, y=None):
+        if y is not None:  # reference-style NonparametricTrend(X, y)
+            from .random_forest import RandomForest
+
+            X = np.asarray(model, dtype=float)
+            model = RandomForest(n_estimators=20, feature_space="embedding")
+            model.fit(X, np.asarray(y, dtype=float))
         self.model = model
         self.beta = jnp.zeros(0)
 

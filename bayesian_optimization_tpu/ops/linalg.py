@@ -41,27 +41,36 @@ import jax.numpy as jnp
 BLOCK = 128
 
 
-def _chol_unblocked(S: jnp.ndarray) -> jnp.ndarray:
+def _chol_unblocked(S: jnp.ndarray):
     """Cholesky of a small SPD block by the Cholesky-Banachiewicz column
-    sweep as a fori_loop — O(1) generated code, vectorizes under vmap."""
+    sweep as a fori_loop — O(1) generated code, vectorizes under vmap.
+
+    Returns (L, min_pivot) where min_pivot is the smallest raw pivot
+    sjj - rj.rj BEFORE clamping: the clamp keeps an indefinite pivot from
+    cascading into overflow/NaN in the nilpotent-squaring inverse, but a
+    clamped factorization is WRONG — callers must treat min_pivot <= ~0 as
+    a failed factorization (the GP likelihood folds it into its 1e12
+    penalty so nugget escalation still fires; advisor finding r2)."""
     b = S.shape[-1]
     iota = jnp.arange(b)
 
-    def body(j, L):
+    def body(j, carry):
+        L, piv = carry
         row = jax.lax.dynamic_slice(L, (j, 0), (1, b))[0]
         rj = row * (iota < j).astype(S.dtype)
         sjj = jax.lax.dynamic_slice(S, (j, j), (1, 1))[0, 0]
-        # clamp keeps d >= 1e-6 so a (numerically) indefinite pivot cannot
-        # cascade into overflow/NaN in the nilpotent-squaring inverse; the
-        # factorization is wrong there, but finite, and the likelihood's
-        # non-finite/huge-value guard steers optimizers out of such regions
-        d = jnp.sqrt(jnp.maximum(sjj - jnp.dot(rj, rj), 1e-12))
+        raw = sjj - jnp.dot(rj, rj)
+        d = jnp.sqrt(jnp.maximum(raw, 1e-12))
         scol = jax.lax.dynamic_slice(S, (0, j), (b, 1))[:, 0]
         c = (scol - L @ rj) / d
         col = jnp.where(iota == j, d, jnp.where(iota > j, c, 0.0))
-        return jax.lax.dynamic_update_slice(L, col[:, None], (0, j))
+        return (
+            jax.lax.dynamic_update_slice(L, col[:, None], (0, j)),
+            jnp.minimum(piv, raw),
+        )
 
-    return jax.lax.fori_loop(0, b, body, jnp.zeros_like(S))
+    init = (jnp.zeros_like(S), jnp.asarray(jnp.inf, S.dtype))
+    return jax.lax.fori_loop(0, b, body, init)
 
 
 def _tri_inv_unblocked(L: jnp.ndarray) -> jnp.ndarray:
@@ -102,26 +111,29 @@ def _chol_and_inv_hi(R: jnp.ndarray):
     n = R.shape[-1]
     dtype = R.dtype
     if n <= BLOCK:
-        L = _chol_unblocked(R)
-        return L, _tri_inv_unblocked(L)
+        L, piv = _chol_unblocked(R)
+        return L, _tri_inv_unblocked(L), piv
     assert n % BLOCK == 0, f"chol_and_inv requires n % {BLOCK} == 0, got {n}"
     nb = n // BLOCK
     iota = jnp.arange(n)
 
-    def panel(j, L):
+    def panel(j, carry):
+        L, piv = carry
         jb = j * BLOCK
         colmask = (iota < jb).astype(dtype)
         Lrow = jax.lax.dynamic_slice(L, (jb, 0), (BLOCK, n)) * colmask[None, :]
         S = jax.lax.dynamic_slice(R, (jb, jb), (BLOCK, BLOCK)) - Lrow @ Lrow.T
-        Ljj = _chol_unblocked(S)
+        Ljj, pj = _chol_unblocked(S)
         Ljj_inv = _tri_inv_unblocked(Ljj)
         Rcol = jax.lax.dynamic_slice(R, (0, jb), (n, BLOCK))
         C = Rcol - (L * colmask[None, :]) @ Lrow.T
         P = (C @ Ljj_inv.T) * (iota >= jb + BLOCK).astype(dtype)[:, None]
         P = jax.lax.dynamic_update_slice(P, Ljj, (jb, 0))
-        return jax.lax.dynamic_update_slice(L, P, (0, jb))
+        return jax.lax.dynamic_update_slice(L, P, (0, jb)), jnp.minimum(piv, pj)
 
-    L = jax.lax.fori_loop(0, nb, panel, jnp.zeros_like(R))
+    L, piv = jax.lax.fori_loop(
+        0, nb, panel, (jnp.zeros_like(R), jnp.asarray(jnp.inf, dtype))
+    )
 
     # explicit inverse: block-nilpotent squaring over the block structure
     diag_blocks = jnp.stack([
@@ -138,23 +150,25 @@ def _chol_and_inv_hi(R: jnp.ndarray):
         P = P @ P
         Rm = Rm + Rm @ P
     L_inv = _block_diag_apply(Dinv, Rm, "right")
-    return L, L_inv
+    return L, L_inv, piv
 
 
 @jax.custom_vjp
 def chol_and_inv(R: jnp.ndarray):
-    """(L, L_inv) of SPD R with O(1)-size generated code and GEMM-only VJP."""
+    """(L, L_inv, min_pivot) of SPD R with O(1)-size generated code and a
+    GEMM-only VJP. min_pivot <= ~0 means the clamped factorization is wrong
+    (see _chol_unblocked) — callers must check it, not assume SPD."""
     return _chol_and_inv_impl(R)
 
 
 def _fwd(R):
-    L, L_inv = _chol_and_inv_impl(R)
-    return (L, L_inv), (L, L_inv)
+    L, L_inv, piv = _chol_and_inv_impl(R)
+    return (L, L_inv, piv), (L, L_inv)
 
 
 def _bwd(res, cots):
     L, Li = res
-    Lb, Lib = cots
+    Lb, Lib, _pivb = cots  # min_pivot is a diagnostic: no gradient flow
     with jax.default_matmul_precision("highest"):
         # cotangent contribution of L_inv: d(L^-1) = -L^-1 dL L^-1
         Lb_total = jnp.tril(Lb) - jnp.tril(Li.T @ Lib @ Li.T)
@@ -165,12 +179,6 @@ def _bwd(res, cots):
 
 
 chol_and_inv.defvjp(_fwd, _bwd)
-
-
-def masked_logdet(L: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    d = jnp.diagonal(L)
-    safe = jnp.where(mask > 0, d, 1.0)
-    return jnp.sum(jnp.log(jnp.maximum(safe, 1e-300)))
 
 
 # ---------------------------------------------------------------------------
@@ -185,25 +193,26 @@ def masked_logdet(L: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def _factor(R: jnp.ndarray):
-    """Blocked Cholesky returning (L, Dinv) where Dinv stacks the inverses
-    of the 128-wide diagonal blocks of L (free by-products of the panel
-    loop, reused by every subsequent triangular solve)."""
+    """Blocked Cholesky returning (L, Dinv, min_pivot) where Dinv stacks the
+    inverses of the 128-wide diagonal blocks of L (free by-products of the
+    panel loop, reused by every subsequent triangular solve) and min_pivot
+    is the smallest raw pivot before clamping (see _chol_unblocked)."""
     n = R.shape[-1]
     dtype = R.dtype
     if n <= BLOCK:
-        L = _chol_unblocked(R)
-        return L, _tri_inv_unblocked(L)[None]
+        L, piv = _chol_unblocked(R)
+        return L, _tri_inv_unblocked(L)[None], piv
     assert n % BLOCK == 0, f"_factor requires n % {BLOCK} == 0, got {n}"
     nb = n // BLOCK
     iota = jnp.arange(n)
 
     def panel(j, carry):
-        L, Dinv = carry
+        L, Dinv, piv = carry
         jb = j * BLOCK
         colmask = (iota < jb).astype(dtype)
         Lrow = jax.lax.dynamic_slice(L, (jb, 0), (BLOCK, n)) * colmask[None, :]
         S = jax.lax.dynamic_slice(R, (jb, jb), (BLOCK, BLOCK)) - Lrow @ Lrow.T
-        Ljj = _chol_unblocked(S)
+        Ljj, pj = _chol_unblocked(S)
         Ljj_inv = _tri_inv_unblocked(Ljj)
         Rcol = jax.lax.dynamic_slice(R, (0, jb), (n, BLOCK))
         C = Rcol - (L * colmask[None, :]) @ Lrow.T
@@ -212,11 +221,13 @@ def _factor(R: jnp.ndarray):
         return (
             jax.lax.dynamic_update_slice(L, P, (0, jb)),
             jax.lax.dynamic_update_slice(Dinv, Ljj_inv[None], (j, 0, 0)),
+            jnp.minimum(piv, pj),
         )
 
     L0 = jnp.zeros_like(R)
     D0 = jnp.zeros((nb, BLOCK, BLOCK), dtype)
-    return jax.lax.fori_loop(0, nb, panel, (L0, D0))
+    piv0 = jnp.asarray(jnp.inf, dtype)
+    return jax.lax.fori_loop(0, nb, panel, (L0, D0, piv0))
 
 
 def tri_solve_lower(L: jnp.ndarray, Dinv: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
@@ -260,29 +271,31 @@ def tri_solve_upper_t(L: jnp.ndarray, Dinv: jnp.ndarray, B: jnp.ndarray) -> jnp.
 
 @jax.custom_vjp
 def whiten(R: jnp.ndarray, B: jnp.ndarray):
-    """(diag(L), L^-1 B) for SPD R = L L^T — the entire GP-likelihood
-    linear algebra in O(1) generated code with a GEMM-only VJP."""
+    """(diag(L), L^-1 B, min_pivot) for SPD R = L L^T — the entire
+    GP-likelihood linear algebra in O(1) generated code with a GEMM-only
+    VJP. min_pivot <= ~0 flags a clamped (wrong) factorization; the
+    likelihood folds it into its 1e12 penalty (advisor finding r2)."""
     with jax.default_matmul_precision("high"):
-        L, Dinv = _factor(R)
-        return jnp.diagonal(L), tri_solve_lower(L, Dinv, B)
+        L, Dinv, piv = _factor(R)
+        return jnp.diagonal(L), tri_solve_lower(L, Dinv, B), piv
 
 
 def _whiten_fwd(R, B):
     with jax.default_matmul_precision("high"):
-        L, Dinv = _factor(R)
+        L, Dinv, piv = _factor(R)
         W = tri_solve_lower(L, Dinv, B)
-    return (jnp.diagonal(L), W), (L, Dinv, W)
+    return (jnp.diagonal(L), W, piv), (L, Dinv, W)
 
 
 def _whiten_bwd(res, cots):
     L, Dinv, W = res
-    dbar, Wbar = cots
-    # default matmul precision: the MXU accumulates in f32 either way, the
-    # bf16 rounding only touches inputs (~2^-8 relative), and gradient
-    # direction quality at that level matched the reference throughout
-    # round 1 (XLA's expander VJPs run default-precision GEMMs internally);
-    # the 6-pass f32 emulation made this VJP 3x the cost of the whole fit
-    with jax.default_matmul_precision("default"):
+    dbar, Wbar, _pivb = cots  # min_pivot is a diagnostic: no gradient flow
+    # "high" (bf16_3x) matmuls: the MXU accumulates in f32 either way and
+    # 3-pass bf16 recovers ~f32 input precision at a fraction of the cost
+    # of the 6-pass "highest" emulation (which made this VJP 3x the cost of
+    # the whole fit in round 1). Gradient parity vs f64 is asserted by
+    # tests/test_linalg.py::test_whiten_value_and_grad on every backend.
+    with jax.default_matmul_precision("high"):
         U = tri_solve_upper_t(L, Dinv, Wbar)  # L^-T Wbar
         Bbar = U
         Lbar = jnp.diag(dbar) - jnp.tril(U @ W.T)

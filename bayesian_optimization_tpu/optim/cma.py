@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.expr import evaluate_size
 from ..utils.penalty import reflect_into_box
 
 
@@ -135,7 +136,9 @@ class OnePlusOne_Cholesky_CMA:
         self.h, self.g = h, g
         self.minimize = minimize
         self.ftarget = ftarget
-        self.max_FEs = float(np.inf if max_FEs is None else eval(str(max_FEs), {"dim": self.dim, "np": np}))
+        self.max_FEs = float(
+            np.inf if max_FEs is None else evaluate_size(max_FEs, self.dim)
+        )
         self.xtol, self.ftol = xtol, ftol
         self.n_chains = int(n_chains)
         self.sigma0 = sigma0 if sigma0 is not None else 0.25 * float(np.max(self.ub - self.lb))

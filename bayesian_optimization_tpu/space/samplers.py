@@ -36,7 +36,7 @@ class SCMC:
         tol: float = 1e-2,
         n_temperature_steps: int = 20,
         n_sweeps: int = 17,
-        vector_constraints: bool = False,
+        vector_constraints="auto",
         rng: Optional[np.random.Generator] = None,
     ):
         self.space = space
@@ -45,6 +45,10 @@ class SCMC:
         self.rng = rng or space._rng
         self.n_temperature_steps = n_temperature_steps
         self.n_sweeps = n_sweeps
+        # True: constraints take (N, dim) batches; False: per-point loop;
+        # "auto" (default): probe once — call the constraint on a 2-row
+        # batch and keep the batch path iff it reproduces the per-point
+        # values, so numpy-vectorizable constraints never pay the host loop
         self.vector_constraints = vector_constraints
         # anneal nu from a loose 10 down to tol/8 (ref parity: samplers.py:76-78)
         self.nu_schedule = np.logspace(1, np.log10(tol / 8.0), n_temperature_steps)
@@ -65,13 +69,33 @@ class SCMC:
                 parts.append(np.atleast_1d(np.asarray(self.g(x), dtype=float)))
             return np.concatenate(parts) if parts else np.zeros(0)
 
-        if self.vector_constraints:
+        def batch(Xb):
+            def as_cols(a):
+                a = np.asarray(a, dtype=float)
+                # a 1-D return of length N is one constraint per ROW
+                return a[:, None] if a.ndim == 1 else a
+
             parts = []
             if self.h is not None:
-                parts.append(np.abs(np.atleast_2d(np.asarray(self.h(X), dtype=float))))
+                parts.append(np.abs(as_cols(self.h(Xb))))
             if self.g is not None:
-                parts.append(np.atleast_2d(np.asarray(self.g(X), dtype=float)))
-            return np.hstack(parts) if parts else np.zeros((len(X), 0))
+                parts.append(as_cols(self.g(Xb)))
+            return np.hstack(parts) if parts else np.zeros((len(Xb), 0))
+
+        if self.vector_constraints == "auto":
+            # one-time probe: does the user callable broadcast over rows?
+            try:
+                k = min(2, len(X))
+                per = np.array([one(x) for x in X[:k]])
+                vec = batch(X[:k])
+                self.vector_constraints = (
+                    vec.shape == per.shape and np.allclose(vec, per, equal_nan=True)
+                )
+            except Exception:  # noqa: BLE001 - any failure => per-point loop
+                self.vector_constraints = False
+
+        if self.vector_constraints:
+            return batch(X)
         return np.array([one(x) for x in X])
 
     def _log_posterior(self, X: np.ndarray, nu: float) -> np.ndarray:

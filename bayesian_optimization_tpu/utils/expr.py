@@ -82,3 +82,17 @@ class ConditionExpression:
             if name in values:
                 env[ph] = values[name]
         return eval(self._code, {"__builtins__": {}}, env)  # noqa: S307 - whitelisted AST only
+
+
+def evaluate_size(expr, dim: int) -> int:
+    """Safe evaluator for budget/size strings like ``"5*dim"``.
+
+    The reference runs raw ``eval()`` on user strings for DoE_size/max_FEs
+    (ref: base.py:142-143, utils/utils.py:249-269) — SURVEY §7 lists that as
+    a quirk NOT to replicate. This accepts the same convenience syntax
+    through the whitelisted-AST ConditionExpression instead: arithmetic over
+    the single variable ``dim``, nothing else (no attribute access, no
+    calls, no builtins).
+    """
+    value = ConditionExpression(str(expr)).evaluate({"dim": int(dim)})
+    return int(value)

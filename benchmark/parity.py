@@ -23,6 +23,12 @@ import ref_sklearn_compat  # noqa: E402
 
 ref_sklearn_compat.apply()
 
+# minimal documented patches for the reference's OWN bugs that crash
+# configs 2a/2b/4 before any head-to-head completes; see ref_bugfix.py
+import ref_bugfix  # noqa: E402
+
+ref_bugfix.apply()
+
 
 def sphere(x):
     return float(np.sum(np.asarray(x, dtype=float) ** 2))

@@ -1,0 +1,102 @@
+"""Minimal, documented patches for BUGS IN THE REFERENCE ITSELF
+(bayes_optim v0.3.0 at /root/reference) that crash 3 of the 5 pinned parity
+configs before a single head-to-head iteration completes. Unlike
+ref_sklearn_compat (API drift vs the installed sklearn), each patch here
+repairs a defect the reference has under ANY dependency versions. Every
+patch is the smallest change that lets the reference run as evidently
+intended; none makes the reference *better* than its design.
+
+1. `PI` cannot be constructed (parity config 2b).
+   /root/reference/bayes_optim/acquisition/acquisition_fun.py:230-236:
+   `PI.__init__` passes epsilon=0 to `EpsilonPI`, whose epsilon setter
+   (:203-206) does `assert eps > 0` — so `BO(acquisition_fun="PI")`
+   crashes in the constructor, always. Patch: allow eps >= 0 (epsilon=0
+   *is* plain PI: its __call__ computes coef = 1 -/+ epsilon, which is
+   exactly 1 at epsilon=0).
+
+2. BFGS acquisition argmax diverges to NaN iterates (parity config 2a).
+   /root/reference/bayes_optim/acquisition/optim/__init__.py:45-52
+   (`Penalized.__call__`) feeds the raw acquisition gradient to scipy's
+   L-BFGS-B. Near a just-sampled point the GP posterior sd -> 0 and the
+   UCB/EI gradient divides by it (acquisition_fun.py:127-147), producing
+   NaN/inf; scipy then steps the iterate itself to NaN and the next
+   predict() dies in sklearn's check_array ("Input contains NaN") —
+   killing the whole run from inside one restart. The reference already
+   swallows non-finite acquisition VALUES by returning 0
+   (acquisition_fun.py:136-137); the patch extends that same policy to
+   the objective scipy sees: non-finite x -> huge penalty with zero
+   gradient (ends the restart harmlessly), non-finite f/grad components
+   -> sanitized finite values.
+
+3. Mixed-space sampling returns the SAME point forever (parity config 4).
+   `SearchSpace.random_seed`'s setter calls `np.random.seed(seed)`
+   (search_space.py:129-134), and `_sample` on a mixed space slices a
+   per-type subspace for every variable type (search_space.py:556-568,
+   `self[index]`), each slice constructing `SearchSpace(data,
+   self.random_seed)` (:263) — re-seeding the GLOBAL numpy RNG on every
+   single sample() call. With a fixed random_seed every DoE/backfill draw
+   is therefore identical; after one duplicate the dedup in
+   base.py:27-55 empties the ask and the run dies with AskEmptyError.
+   Patch: save/restore the global RNG state around `__getitem__`, so
+   internal slicing no longer resets the stream. User-level seeding
+   (construction with random_seed=...) still seeds exactly once, keeping
+   runs deterministic.
+
+Call apply() BEFORE running any reference optimizer (after
+ref_sklearn_compat.apply()).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def apply() -> None:
+    import bayes_optim.acquisition.acquisition_fun as af
+
+    # -- 1. PI constructor: allow epsilon == 0 ---------------------------
+    if not getattr(af.EpsilonPI, "_ref_bugfix", False):
+        def _eps_setter(self, eps):
+            assert eps >= 0
+            self._epsilon = eps
+
+        af.EpsilonPI.epsilon = property(
+            lambda self: self._epsilon, _eps_setter
+        )
+        af.EpsilonPI._ref_bugfix = True
+
+    # -- 2. Penalized: keep the BFGS iterate finite ----------------------
+    import bayes_optim.acquisition.optim as aopt
+
+    if not getattr(aopt.Penalized.__call__, "_ref_bugfix", False):
+        _call = aopt.Penalized.__call__
+
+        def __call__(self, x):
+            x = np.asarray(x, dtype=float)
+            if not np.all(np.isfinite(x)):
+                # scipy already stepped to a bad point: stop this restart
+                return 1e32, np.zeros_like(x)
+            f, fg = _call(self, x)
+            if not np.isfinite(f):
+                f = 1e32
+            fg = np.nan_to_num(
+                np.asarray(fg, dtype=float), nan=0.0, posinf=1e32, neginf=-1e32
+            )
+            return f, fg
+
+        __call__._ref_bugfix = True
+        aopt.Penalized.__call__ = __call__
+
+    # -- 3. SearchSpace.__getitem__: no global re-seeding ----------------
+    from bayes_optim.search_space import SearchSpace
+
+    if not getattr(SearchSpace.__getitem__, "_ref_bugfix", False):
+        _getitem = SearchSpace.__getitem__
+
+        def __getitem__(self, index):
+            state = np.random.get_state()
+            out = _getitem(self, index)
+            np.random.set_state(state)
+            return out
+
+        __getitem__._ref_bugfix = True
+        SearchSpace.__getitem__ = __getitem__

@@ -125,3 +125,16 @@ def test_self_adaptive_bo():
     )
     opt.run()
     assert opt.eval_count >= 13
+
+
+def test_pcabo_q_gt_1_batched():
+    # q>1 PCABO asks run through the fused batch argmax (one program)
+    space = RealSpace([[-5, 5]] * 6, random_seed=0)
+    opt = PCABO(
+        search_space=space, obj_fun=ellipsoid, n_components=3,
+        DoE_size=8, max_FEs=20, n_point=2, random_seed=0,
+    )
+    opt.run()
+    assert opt.eval_count >= 20
+    V = np.asarray(opt.data.values, dtype=float)
+    assert V.min() >= -5 - 1e-6 and V.max() <= 5 + 1e-6

@@ -79,3 +79,57 @@ def test_bo_with_hmc_gp():
     xopt, fopt, _ = opt.run()
     assert opt.eval_count == 10
     assert fopt[0] < 10.0
+
+
+def test_nuts_moments_match_truth_and_hmc():
+    """NUTS posterior moments on a correlated Gaussian must match the
+    analytic truth (and hence long-HMC) within Monte-Carlo error."""
+    import jax
+    import jax.numpy as jnp
+
+    from bayesian_optimization_tpu.models.hmc import nuts_sample
+
+    mean = jnp.asarray([0.5, -0.3, 0.2], jnp.float32)
+    cov = jnp.asarray(
+        [[1.0, 0.8, 0.2], [0.8, 1.0, 0.4], [0.2, 0.4, 0.5]], jnp.float32
+    )
+    prec = jnp.linalg.inv(cov)
+
+    def logp(x):
+        d = x - mean
+        return -0.5 * d @ prec @ d
+
+    lo = jnp.full(3, -8.0)
+    hi = jnp.full(3, 8.0)
+    x0 = jax.random.uniform(jax.random.PRNGKey(1), (8, 3), jnp.float32, -2.0, 2.0)
+    res = nuts_sample(jax.random.PRNGKey(0), logp, x0, lo, hi,
+                      n_warmup=300, n_samples=400, max_depth=6)
+    s = np.asarray(res.samples).reshape(-1, 3)
+    assert np.abs(s.mean(0) - np.asarray(mean)).max() < 0.08
+    assert np.abs(s.var(0) - np.diag(np.asarray(cov))).max() < 0.15
+    assert abs(float(np.cov(s.T)[0, 1]) - 0.8) < 0.15
+    acc = float(np.asarray(res.accept_rate).mean())
+    assert 0.6 < acc <= 1.0, acc
+    # dynamic trajectories actually engaged (depth > 1 on average)
+    assert float(np.asarray(res.mean_depth).mean()) > 1.0
+
+
+def test_gp_fit_with_nuts_ensemble():
+    from bayesian_optimization_tpu import GaussianProcess
+    from bayesian_optimization_tpu.models.trend import constant_trend
+
+    rng = np.random.default_rng(0)
+    X = rng.uniform(0, 1, (40, 2))
+    y = np.sin(3 * X[:, 0]) + 0.3 * rng.standard_normal(40)
+    gp = GaussianProcess(
+        mean=constant_trend(2), thetaL=1e-2 * np.ones(2), thetaU=1e2 * np.ones(2),
+        nugget=1e-6, optimizer="NUTS", random_state=0,
+    )
+    gp.hmc_warmup = 60
+    gp.n_ensemble = 8
+    gp.fit(X, y)
+    assert gp.is_fitted
+    mu, mse = gp.predict(X[:5], eval_MSE=True)
+    assert np.all(np.isfinite(mu)) and np.all(mse >= 0)
+    # ensemble prediction mixes 8 posterior samples
+    assert gp.theta_samples_.shape[0] == 8

@@ -25,27 +25,29 @@ def _spd(n, seed=0, cond="easy"):
 def test_chol_and_inv_matches_numpy(n):
     R = _spd(n)
     L_ref = np.linalg.cholesky(np.asarray(R, np.float64))
-    L, Li = jax.jit(chol_and_inv)(jnp.asarray(R))
+    L, Li, piv = jax.jit(chol_and_inv)(jnp.asarray(R))
     rel = np.abs(np.asarray(L, np.float64) - L_ref).max() / np.abs(L_ref).max()
     assert rel < 1e-5, rel
     resid = np.abs(np.asarray(Li, np.float64) @ L_ref - np.eye(n)).max()
     assert resid < 1e-4, resid
+    assert float(piv) > 0.0
 
 
 @pytest.mark.parametrize("n", [128, 256])
 def test_chol_and_inv_kernel_like(n):
     R = _spd(n, seed=3, cond="kernel")
     L_ref = np.linalg.cholesky(np.asarray(R, np.float64))
-    L, Li = jax.jit(chol_and_inv)(jnp.asarray(R))
+    L, Li, piv = jax.jit(chol_and_inv)(jnp.asarray(R))
     rel = np.abs(np.asarray(L, np.float64) - L_ref).max() / np.abs(L_ref).max()
     assert rel < 1e-3, rel
+    assert float(piv) > 0.0
 
 
 @pytest.mark.parametrize("n", [64, 256])
 def test_tri_solves(n):
     R = _spd(n, seed=1)
     B = np.random.default_rng(2).standard_normal((n, 3)).astype(np.float32)
-    L, Dinv = jax.jit(_factor)(jnp.asarray(R))
+    L, Dinv, _piv = jax.jit(_factor)(jnp.asarray(R))
     L64 = np.asarray(L, np.float64)
     X1 = np.asarray(tri_solve_lower(L, Dinv, jnp.asarray(B)), np.float64)
     assert np.abs(L64 @ X1 - B).max() < 1e-4
@@ -59,7 +61,7 @@ def test_whiten_value_and_grad():
     B = jnp.asarray(np.random.default_rng(5).standard_normal((n, 2)).astype(np.float32))
 
     def f_new(R):
-        d, W = whiten(R, B)
+        d, W, _ = whiten(R, B)
         return jnp.sum(jnp.log(d)) + jnp.sum(W**2)
 
     def f_ref(R):
@@ -77,7 +79,20 @@ def test_whiten_value_and_grad():
 def test_vmap_batch():
     # batched factorization under vmap (multi-restart MLE shape)
     Rs = jnp.stack([jnp.asarray(_spd(128, seed=s)) for s in range(4)])
-    Ls, Lis = jax.vmap(chol_and_inv)(Rs)
+    Ls, Lis, _ = jax.vmap(chol_and_inv)(Rs)
     for i in range(4):
         ref = np.linalg.cholesky(np.asarray(Rs[i], np.float64))
         assert np.abs(np.asarray(Ls[i], np.float64) - ref).max() < 1e-4
+
+
+def test_min_pivot_flags_indefinite():
+    # an indefinite matrix must be flagged by min_pivot <= 0 even though the
+    # clamp keeps the factorization finite (advisor finding r2)
+    n = 128
+    R = _spd(n, seed=7)
+    R = np.asarray(R, np.float64)
+    R[0, 0] = -1.0  # make it indefinite
+    L, Li, piv = jax.jit(chol_and_inv)(jnp.asarray(R, jnp.float32))
+    assert float(piv) <= 0.0
+    d, W, piv2 = whiten(jnp.asarray(R, jnp.float32), jnp.ones((n, 1), jnp.float32))
+    assert float(piv2) <= 0.0

@@ -168,3 +168,34 @@ def test_mobo_3_objectives():
     opt = MOBO(search_space=space, obj_fun=fns, n_obj=3, DoE_size=8, max_FEs=33, random_seed=0)
     opt.run()
     assert opt.xopt.N >= 3
+
+
+def test_mobo_with_rf_surrogate():
+    # the reference fits its RF on multi-output y and runs MOBO with it
+    # (ref: surrogate/random_forest.py:110-139, unittest/test_mobo.py);
+    # our RF must do the same through the fused EHVI argmax path
+    from bayesian_optimization_tpu import RandomForest
+
+    space = RealSpace([-2, 4], var_name="x", random_seed=0)
+    model = RandomForest(n_estimators=30, random_state=0, feature_space="embedding")
+    opt = MOBO(
+        search_space=space, obj_fun=[_schaffer, _schaffer2], n_obj=2,
+        model=model, DoE_size=6, max_FEs=20, random_seed=0,
+    )
+    opt.run()
+    assert opt.data.N >= 8
+    assert opt.xopt.N >= 2
+
+
+def test_rf_multioutput_predict_shapes():
+    from bayesian_optimization_tpu import RandomForest
+
+    rng = np.random.default_rng(0)
+    X = rng.uniform(size=(40, 3))
+    Y = np.c_[X.sum(1), (X**2).sum(1)]
+    rf = RandomForest(n_estimators=25, random_state=0, feature_space="embedding").fit(X, Y)
+    mu, var = rf.predict(X[:7], eval_MSE=True)
+    assert mu.shape == (7, 2) and var.shape == (7, 2)
+    # per-output means must match sklearn's own multi-output predict
+    ref = rf._rf.predict(X[:7])
+    assert np.allclose(mu, ref, atol=1e-5)

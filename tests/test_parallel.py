@@ -94,12 +94,29 @@ def test_sharded_cma_argmax_loop_has_no_collectives():
         key, state, gp.config, enc, "EI", params, True,
         x0, jnp.zeros(D), jnp.zeros(D), 16,
     ).compile().as_text()
-    region = None
-    in_loop = []
+    # Partition the HLO module into computations by brace tracking (robust
+    # to label renames, unlike substring heuristics): every collective must
+    # live in the ENTRY computation (the final best-of-population reduce);
+    # any collective inside a sub-computation — in particular the while
+    # body of the generation loop — is a regression.
+    COLLECTIVES = (
+        "all-gather", "all-reduce(", "all-reduce-start", "all-to-all",
+        "collective-permute", "reduce-scatter",
+    )
+    in_entry, depth = False, 0
+    offenders, total, in_entry_count = [], 0, 0
     for line in txt.splitlines():
-        if line.startswith("%") or line.startswith("ENTRY"):
-            region = line
-        if "all-gather" in line or "all-reduce(" in line or "all-to-all" in line:
-            if "region" in (region or ""):
-                in_loop.append(line.strip()[:80])
-    assert not in_loop, f"collectives inside the generation loop: {in_loop}"
+        stripped = line.strip()
+        if depth == 0 and "{" in line:
+            in_entry = stripped.startswith("ENTRY")
+        depth += line.count("{") - line.count("}")
+        if any(c in line for c in COLLECTIVES):
+            total += 1
+            if in_entry:
+                in_entry_count += 1
+            else:
+                offenders.append(stripped[:100])
+    assert not offenders, f"collectives outside ENTRY (e.g. in the generation loop): {offenders}"
+    # sanity: the lowering was actually partitioned — the final reduce must
+    # exist, otherwise the assertion above passes vacuously
+    assert total >= 1 and total == in_entry_count, (total, in_entry_count)

@@ -1,0 +1,176 @@
+"""Golden parity against the ACTUAL reference GPR (/root/reference), not a
+transcription: same fixed datasets, compare (a) the concentrated likelihood
+value at identical hyperparameters, (b) fit quality — our MLE optimum scored
+by the REFERENCE's own likelihood code must be at least as good as the
+reference's, and (c) posterior mean/MSE at pinned hyperparameters
+(ref: bayes_optim/surrogate/gaussian_process/gpr.py:920-1040, 424-535).
+
+Skipped automatically when /root/reference is not present.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+SHIMS = os.path.join(os.path.dirname(__file__), "..", "benchmark", "ref_shims")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "bayes_optim")),
+    reason="reference checkout not available",
+)
+
+
+@pytest.fixture(scope="module")
+def ref_gpr():
+    sys.path.insert(0, os.path.abspath(SHIMS))
+    sys.path.insert(0, REF)
+    import ref_sklearn_compat
+
+    ref_sklearn_compat.apply()
+    from bayes_optim.surrogate.gaussian_process import trend as ref_trend
+    from bayes_optim.surrogate.gaussian_process.gpr import GaussianProcess as RefGP
+
+    return RefGP, ref_trend
+
+
+def _dataset(n=64, d=2, seed=0, noise=0.3):
+    # noise 0.3 keeps the optimal log-likelihood NEGATIVE: the reference
+    # maps any positive log-likelihood to -inf (gpr.py:981 `any(log_likelihood
+    # > 0)`) — a quirk, since densities > 1 are legitimate — so low-noise
+    # datasets cannot be scored by its likelihood code at good
+    # hyperparameters at all
+    rng = np.random.default_rng(seed)
+    X = rng.uniform(0.0, 1.0, (n, d))
+    y = np.sin(3.0 * X[:, 0]) + 0.5 * np.cos(2.0 * X[:, 1]) + noise * rng.standard_normal(n)
+    return X, y
+
+
+def _ours_nll(theta, sigma2, X, y, nugget=1e-6):
+    """Our concentrated 'noisy'-mode NLL at linear-space (theta, sigma2)."""
+    import jax.numpy as jnp
+
+    from bayesian_optimization_tpu.models.likelihood import (
+        GPConfig, neg_log_likelihood,
+    )
+
+    n, d = X.shape
+    config = GPConfig(kernel="matern", mode="noisy", likelihood="concentrated",
+                      estimate_trend=True, n_basis=1, trend="constant", jitter=1e-6)
+    par = np.log10(np.r_[theta, sigma2]).astype(np.float32)
+    return float(
+        neg_log_likelihood(
+            jnp.asarray(par),
+            jnp.asarray(X, jnp.float32),
+            jnp.asarray(y.reshape(-1, 1), jnp.float32),
+            jnp.ones((n, 1), jnp.float32),
+            jnp.ones(n, jnp.float32),
+            jnp.asarray(float(n), jnp.float32),
+            jnp.asarray(nugget, jnp.float32),
+            jnp.zeros((1, 1), jnp.float32),
+            config,
+        )
+    )
+
+
+def _ref_model(RefGP, ref_trend, d, nugget=1e-6, thetaL=None, thetaU=None, seed=0):
+    return RefGP(
+        mean=ref_trend.constant_trend(d), corr="matern", nugget=nugget,
+        noise_estim=False, optimizer="BFGS", random_start=6,
+        likelihood="concentrated", eval_budget=80 * d, random_state=seed,
+        thetaL=thetaL if thetaL is not None else 1e-2 * np.ones(d),
+        thetaU=thetaU if thetaU is not None else 1e2 * np.ones(d),
+    )
+
+
+def test_likelihood_value_matches_reference(ref_gpr):
+    RefGP, ref_trend = ref_gpr
+    X, y = _dataset()
+    d = X.shape[1]
+    ref = _ref_model(RefGP, ref_trend, d)
+    ref._check_data(X, y.reshape(-1, 1))  # sets internal state for the LL call
+
+    # hyperparameters chosen with cond(R) in [7e2, 3e4]: the reference runs
+    # f64 LAPACK while our TPU-native path is f32, so agreement degrades as
+    # cond(R)*eps_f32 — at these conds the gap stays well under 1 nat (at
+    # cond 1e6, e.g. theta=[0.5, 2], BOTH implementations' values drift by
+    # tens of nats from exact arithmetic, which is inherent to f32, not a
+    # formula difference; formula identity is checked by the tight cases)
+    cases = [([60.0, 40.0], 0.3, 0.1), ([60.0, 40.0], 1.0, 0.1),
+             ([30.0, 20.0], 0.5, 0.3), ([20.0, 30.0], 0.3, 0.3),
+             ([10.0, 10.0], 1.0, 1.0), ([5.0, 10.0], 0.3, 10.0)]  # last: cond 3e4, |LL|~1.3e3 — 10 nats = 0.8% relative
+    for theta, sigma2, tol in cases:
+        par = np.r_[np.asarray(theta, dtype=float), sigma2]
+        ll_ref = float(np.asarray(ref.log_likelihood_concentrated(par)).ravel()[0])
+        nll_ours = _ours_nll(np.asarray(theta), sigma2, X, y)
+        assert abs(-ll_ref - nll_ours) < tol, (theta, sigma2, -ll_ref, nll_ours)
+
+
+def test_fit_quality_on_reference_likelihood(ref_gpr):
+    """Score OUR theta-hat with the REFERENCE's likelihood implementation:
+    it must be at least as good (within 1 nat) as the reference's own fit,
+    the comparison SURVEY §4 asks for without formula-mismatch risk."""
+    RefGP, ref_trend = ref_gpr
+    from bayesian_optimization_tpu import GaussianProcess
+    from bayesian_optimization_tpu.models.trend import constant_trend
+
+    X, y = _dataset(seed=1)
+    d = X.shape[1]
+
+    ref = _ref_model(RefGP, ref_trend, d)
+    ref.fit(X, y.reshape(-1, 1))
+    ll_ref_at_ref = float(np.asarray(ref.log_likelihood_).ravel()[0])
+
+    ours = GaussianProcess(
+        mean=constant_trend(d), corr="matern",
+        thetaL=1e-2 * np.ones(d), thetaU=1e2 * np.ones(d),
+        nugget=1e-6, random_state=0,
+    ).fit(X, y)
+    sigma2_ours = float(np.asarray(ours.sigma2).ravel()[0])
+    par_ours = np.r_[ours.theta_, sigma2_ours]
+    ll_ref_at_ours = float(np.asarray(ref.log_likelihood_concentrated(par_ours)).ravel()[0])
+    if np.isneginf(ll_ref_at_ours):
+        # the reference's LL>0 => -inf quirk (gpr.py:981): a positive LL at
+        # our optimum means OUR fit is better than anything the reference
+        # can even score; fall back to our (value-tested) implementation
+        ll_ref_at_ours = -_ours_nll(ours.theta_, sigma2_ours, X, y)
+    assert ll_ref_at_ours > ll_ref_at_ref - 1.0, (ll_ref_at_ours, ll_ref_at_ref)
+
+
+def test_posterior_moments_match_reference_at_pinned_theta(ref_gpr):
+    """Same data, same pinned theta => BLUP mean and MSE must agree to f32
+    noise (ref: gpr.py:424-535)."""
+    RefGP, ref_trend = ref_gpr
+    from bayesian_optimization_tpu import GaussianProcess
+    from bayesian_optimization_tpu.models.trend import constant_trend
+
+    X, y = _dataset(seed=2)
+    d = X.shape[1]
+    theta = np.array([30.0, 20.0])  # cond(R) ~1e3: f32-comparable regime
+
+    # nugget=0 => noiseless mode in BOTH frameworks: sigma2 is concentrated
+    # out in closed form, so at pinned theta the posteriors are fully
+    # determined (no 1-D sigma2 MLE that could land differently)
+    ref = _ref_model(RefGP, ref_trend, d, nugget=0, thetaL=theta, thetaU=theta)
+    ref.fit(X, y.reshape(-1, 1))
+
+    ours = GaussianProcess(
+        mean=constant_trend(d), corr="matern",
+        thetaL=theta, thetaU=theta,  # degenerate box pins theta
+        nugget=0, random_state=0,
+    ).fit(X, y)
+    assert np.allclose(ours.theta_, theta, rtol=1e-5)
+
+    rng = np.random.default_rng(5)
+    Xq = rng.uniform(0, 1, (32, d))
+    mu_ref, mse_ref = ref.predict(Xq, eval_MSE=True)
+    mu_ours, mse_ours = ours.predict(Xq, eval_MSE=True)
+    mu_ref = np.asarray(mu_ref, dtype=float).ravel()
+    mse_ref = np.asarray(mse_ref, dtype=float).ravel()
+
+    yr = float(np.abs(y).max())
+    assert np.abs(mu_ours - mu_ref).max() < 5e-3 * yr, np.abs(mu_ours - mu_ref).max()
+    mse_scale = max(1e-8, float(mse_ref.max()))
+    assert np.abs(mse_ours - mse_ref).max() < 5e-2 * mse_scale, (
+        np.abs(mse_ours - mse_ref).max(), mse_scale)

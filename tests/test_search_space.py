@@ -177,3 +177,34 @@ def test_constrained_sampling_equality():
     assert len(X) > 0
     for row in X:
         assert abs(float(row[0]) - float(row[1])) <= 1e-1
+
+
+def test_scmc_auto_vectorized_constraints():
+    """The 'auto' probe must take the batch path for numpy-broadcastable
+    constraints (and produce feasible samples), and fall back to the
+    per-point loop for scalar-only callables with identical results."""
+    from bayesian_optimization_tpu.space.samplers import SCMC
+
+    space = RealSpace([[-2.0, 2.0]] * 2, random_seed=0)
+
+    def g_vec(x):
+        x = np.asarray(x, dtype=float)
+        if x.ndim == 2:
+            return x[:, 0] + x[:, 1] - 1.0  # broadcasts over rows
+        return x[0] + x[1] - 1.0
+
+    s = SCMC(space, g=g_vec, tol=1e-2)
+    out = np.asarray(s.sample(32)[:, :2], dtype=float)
+    assert s.vector_constraints is True
+    assert np.mean(out.sum(1) <= 1.0 + 1e-6) > 0.9
+
+    class ScalarOnly:
+        def __call__(self, x):
+            x = np.asarray(x, dtype=float)
+            assert x.ndim == 1  # refuses batches
+            return x[0] + x[1] - 1.0
+
+    s2 = SCMC(space, g=ScalarOnly(), tol=1e-2)
+    out2 = np.asarray(s2.sample(32)[:, :2], dtype=float)
+    assert s2.vector_constraints is False
+    assert np.mean(out2.sum(1) <= 1.0 + 1e-6) > 0.9
