@@ -164,9 +164,21 @@ class PCABO(BO):
 
     def _update_model_reduced(self, X_red: np.ndarray, y: np.ndarray):
         k = X_red.shape[1]
+        # theta bounds must track the REDUCED-box width: the GP fits on the
+        # unit encoding of a sphere-radius box whose data occupy only a thin
+        # band, so a fixed [1e-3, 1e3] window leaves the MLE pinned at the
+        # upper bound (measured: theta ~= thetaU on most components, the
+        # posterior degenerates to noise and the argmax pure exploration —
+        # regrets 3-5x the reference's). The reference bounds theta by
+        # 1e-3/1e3 times the box width on RAW coordinates
+        # (ref: extension.py:188-196); on unit coordinates that maps to a
+        # *width^3 scaling: theta_raw * (w * d_unit)^2 with theta_raw in
+        # [1e-3 w, 1e3 w] => theta_unit in [1e-3 w^3, 1e3 w^3].
+        b = np.asarray(self._search_space.bounds, dtype=float)
+        w3 = (b[:, 1] - b[:, 0]) ** 3
         self.model = GaussianProcess(
             mean=constant_trend(k), corr="matern",
-            thetaL=1e-3 * np.ones(k), thetaU=1e3 * np.ones(k),
+            thetaL=1e-3 * w3, thetaU=1e3 * w3,
             nugget=1e-6, likelihood="concentrated",
             random_start=max(10, k), random_state=self.random_seed,
         )
