@@ -55,17 +55,33 @@ def main():
     enc = RealSpace([[0.0, 1.0]] * D).encoding()
     params = {"plugin": float(y_std.min())}
 
-    def bench(n_dev: int, n_chains: int, reps: int = 5) -> float:
+    def make_gp(n_obs: int):
+        rng_ = np.random.default_rng(0)
+        X_ = rng_.uniform(0, 1, (n_obs, D))
+        y_ = np.sin(3 * X_).sum(1)
+        ys = (y_ - y_.mean()) / y_.std()
+        g = GaussianProcess(
+            mean=constant_trend(D), corr="matern",
+            thetaL=1e-3 * np.ones(D), thetaU=1e3 * np.ones(D),
+            nugget=1e-6, random_start=8, random_state=0,
+        )
+        g.fit(X_, ys)
+        return g, {"plugin": float(ys.min())}
+
+    def bench(n_dev: int, n_chains: int, reps: int = 5, n_gen: int = 64,
+              model=None, pars=None) -> float:
+        model = model if model is not None else gp
+        pars = pars if pars is not None else params
         mesh = make_particle_mesh(n_dev)
         am = AcquisitionArgmax(
             enc, method="OnePlusOne_Cholesky_CMA",
-            n_chains=n_chains, max_FEs=n_chains * 64, seed=0, mesh=mesh,
+            n_chains=n_chains, max_FEs=n_chains * n_gen, seed=0, mesh=mesh,
         )
-        am(gp.posterior, gp.config, "EI", params)  # compile
+        am(model.posterior, model.config, "EI", pars)  # compile
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            am(gp.posterior, gp.config, "EI", params)
+            am(model.posterior, model.config, "EI", pars)
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
@@ -94,6 +110,34 @@ def main():
         t = bench(nd, per_dev * nd)
         t1 = t1 or t
         print(f"| {nd} | {per_dev*nd} | {t:.3f} | {100*t1/t:.0f}% |")
+
+    # -- what the simulated-mesh efficiencies are made of -----------------
+    # (a) per-generation work-size sweep at 8 devices: if the inefficiency
+    # were communication, it would not shrink as per-generation work grows;
+    # if it is shared-host compute + fixed per-program overhead, efficiency
+    # climbs with work size.
+    print("\n## Weak-scaling efficiency vs per-generation work (8 devices)\n")
+    print("| GP n_obs | chains/device | 1-dev time | 8-dev time | efficiency |")
+    print("|---|---|---|---|---|")
+    for n_obs in (256, 1024):
+        g, p = make_gp(n_obs)
+        for cpd in (64, 512):
+            ta = bench(1, cpd, model=g, pars=p)
+            tb = bench(8, cpd * 8, model=g, pars=p)
+            print(f"| {n_obs} | {cpd} | {ta:.3f} | {tb:.3f} | {100*ta/tb:.0f}% |")
+
+    # (b) fixed-overhead decomposition: time(g generations) is affine in g,
+    # so two generation counts separate per-generation compute from the
+    # per-call overhead (dispatch + final reduce + host round trip).
+    print("\n## Per-call overhead vs per-generation compute (population 4096)\n")
+    print("| devices | per-generation (ms) | fixed per-call (ms) |")
+    print("|---|---|---|")
+    for nd in (1, 8):
+        t8 = bench(nd, 4096, n_gen=8)
+        t64 = bench(nd, 4096, n_gen=64)
+        per_gen = (t64 - t8) / 56.0
+        fixed = t8 - 8.0 * per_gen
+        print(f"| {nd} | {1e3*per_gen:.2f} | {1e3*max(fixed,0):.2f} |")
 
 
 if __name__ == "__main__":
