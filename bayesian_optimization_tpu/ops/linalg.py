@@ -269,22 +269,53 @@ def tri_solve_upper_t(L: jnp.ndarray, Dinv: jnp.ndarray, B: jnp.ndarray) -> jnp.
     return jax.lax.fori_loop(0, nb, body, jnp.zeros_like(B))
 
 
+def _use_fused_whiten(n: int) -> bool:
+    """The single-launch Pallas factor+solve runs on real TPU backends for
+    the bucket sizes whose R + L fit VMEM (n <= 1024). Everything else
+    (CPU tests, giant buckets) takes the blocked XLA path below.
+    BOTPU_NO_FUSED_WHITEN=1 forces the XLA path (A/B benchmarking)."""
+    import os as _os
+
+    if _os.environ.get("BOTPU_NO_FUSED_WHITEN"):
+        return False
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:  # noqa: BLE001 - backend probing must never fail hot paths
+        return False
+    return n % BLOCK == 0 and BLOCK <= n <= 1024
+
+
+def _whiten_parts(R, B):
+    """Shared fwd implementation: returns (d, W, piv) + residuals (L, Dinv, W).
+
+    Dispatches to the fused Pallas kernel on TPU (ONE launch per likelihood
+    eval instead of a ~1.1k-deep chain of tiny column ops — the measured
+    warm-fit bottleneck; see ops/pallas_kernels.whiten_fused) and to the
+    blocked XLA path elsewhere."""
+    if _use_fused_whiten(R.shape[-1]):
+        from .pallas_kernels import whiten_fused
+
+        d, W, piv, L, Dinv = whiten_fused(R, B)
+        return (d, W, piv), (L, Dinv, W)
+    with jax.default_matmul_precision("high"):
+        L, Dinv, piv = _factor(R)
+        W = tri_solve_lower(L, Dinv, B)
+    return (jnp.diagonal(L), W, piv), (L, Dinv, W)
+
+
 @jax.custom_vjp
 def whiten(R: jnp.ndarray, B: jnp.ndarray):
     """(diag(L), L^-1 B, min_pivot) for SPD R = L L^T — the entire
     GP-likelihood linear algebra in O(1) generated code with a GEMM-only
     VJP. min_pivot <= ~0 flags a clamped (wrong) factorization; the
     likelihood folds it into its 1e12 penalty (advisor finding r2)."""
-    with jax.default_matmul_precision("high"):
-        L, Dinv, piv = _factor(R)
-        return jnp.diagonal(L), tri_solve_lower(L, Dinv, B), piv
+    out, _ = _whiten_parts(R, B)
+    return out
 
 
 def _whiten_fwd(R, B):
-    with jax.default_matmul_precision("high"):
-        L, Dinv, piv = _factor(R)
-        W = tri_solve_lower(L, Dinv, B)
-    return (jnp.diagonal(L), W, piv), (L, Dinv, W)
+    return _whiten_parts(R, B)
 
 
 def _whiten_bwd(res, cots):
