@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
-from ..ops.linalg import chol_and_inv, whiten
+from ..ops.linalg import chol_and_inv, chol_inv_whiten, whiten
 from .kernels import kernel_fn
 
 _LOG2PI = math.log(2.0 * math.pi)
@@ -115,9 +115,10 @@ def _aux(R, Y, F, beta0, config: GPConfig) -> AuxState:
     chol_and_inv is O(1) code, its explicit L^-1 turns every whitening solve
     into a matmul, and its custom VJP is GEMM-only."""
     hi = jax.lax.Precision.HIGHEST  # bf16 matmul passes corrupt the GLS fit
-    L, L_inv, min_pivot = chol_and_inv(R)
-    Yt = jnp.dot(L_inv, Y, precision=hi)
-    Ft = jnp.dot(L_inv, F, precision=hi)
+    m = Y.shape[1]
+    L, L_inv, W, min_pivot = chol_inv_whiten(R, jnp.concatenate([Y, F], axis=1))
+    Yt = W[:, :m]
+    Ft = W[:, m:]
     if config.estimate_trend:
         Q, G = jnp.linalg.qr(Ft, mode="reduced")
         beta = solve_triangular(G, jnp.dot(Q.T, Yt, precision=hi), lower=False)

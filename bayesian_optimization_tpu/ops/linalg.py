@@ -339,3 +339,42 @@ def _whiten_bwd(res, cots):
 
 
 whiten.defvjp(_whiten_fwd, _whiten_bwd)
+
+
+def _block_tri_inv(L: jnp.ndarray, Dinv: jnp.ndarray) -> jnp.ndarray:
+    """Explicit L^-1 from a blocked factor (L, Dinv) by block-nilpotent
+    squaring — log2(nb) full GEMMs, no column loop (the diagonal-block
+    inverses are already in Dinv)."""
+    n = L.shape[-1]
+    nb = Dinv.shape[0]
+    if nb == 1:
+        return Dinv[0]
+    with jax.default_matmul_precision("highest"):
+        N = _block_diag_apply(Dinv, L, "left")
+        eye = jnp.eye(n, dtype=L.dtype)
+        T = eye - N
+        Rm = eye + T
+        P = T
+        for _ in range(max(0, int(math.ceil(math.log2(nb))) - 1)):
+            P = P @ P
+            Rm = Rm + Rm @ P
+        return _block_diag_apply(Dinv, Rm, "right")
+
+
+def chol_inv_whiten(R: jnp.ndarray, B: jnp.ndarray):
+    """(L, L_inv, W, piv) — factor, explicit inverse AND solve W = L^-1 B.
+
+    The posterior-state path needs all three; on TPU the fused Pallas
+    kernel supplies (L, Dinv, W) in one launch and the inverse follows in
+    log2(nb) GEMMs, replacing chol_and_inv's ~1k-deep column recurrence.
+    NOT differentiable through the Pallas branch — posterior-state
+    construction is never differentiated (gradients of predictions w.r.t.
+    query points flow through PosteriorState as constants)."""
+    if _use_fused_whiten(R.shape[-1]):
+        from .pallas_kernels import whiten_fused
+
+        _d, W, piv, L, Dinv = whiten_fused(R, B)
+        return L, _block_tri_inv(L, Dinv), W, piv
+    L, L_inv, piv = chol_and_inv(R)
+    W = jnp.dot(L_inv, B, precision=jax.lax.Precision.HIGHEST)
+    return L, L_inv, W, piv
