@@ -217,6 +217,7 @@ class BaseBO(BaseOptimizer):
 
         self.encoding = self._search_space.encoding()
         self.model = model if model is not None else self._default_model()
+        self._rescale_theta_bounds_to_unit()
         self._set_internal_optimization(acquisition_optimization or {})
         self.data: Optional[Solution] = None
         self.fmin = self.fmax = self.frange = None
@@ -229,19 +230,68 @@ class BaseBO(BaseOptimizer):
     def _default_model(self):
         """GP on the unit-cube embedding for any space (the one-hot blocks
         make categorical distance meaningful); mirrors the reference's GP
-        defaults from fmin (ref: __init__.py:147-160) on unit ranges."""
-        d = self.encoding.d_embed
+        defaults from fmin (ref: __init__.py:147-160): theta bounds
+        proportional to the RAW box widths — _rescale_theta_bounds_to_unit
+        then maps them onto the unit embedding."""
+        enc = self.encoding
+        d = enc.d_embed
+        w = np.ones(d)
+        for j, off in enc._scalar_cols:
+            if enc.is_real[j]:
+                w[off] = float(enc.hi_t[j] - enc.lo_t[j])
         return GaussianProcess(
             mean=constant_trend(d),
             corr="matern",
-            thetaL=1e-3 * np.ones(d),
-            thetaU=1e3 * np.ones(d),
+            thetaL=1e-3 * w,
+            thetaU=1e3 * w,
             nugget=1e-6,
             likelihood="concentrated",
             optimizer="BFGS",
             random_start=max(10, d),
             random_state=self.random_seed,
         )
+
+    def _rescale_theta_bounds_to_unit(self):
+        """Map user GP theta bounds from RAW-coordinate convention to the
+        unit embedding the GP actually fits on.
+
+        The reference's kernels compute theta * d^2 with d in RAW variable
+        units, and users (and the reference's own defaults,
+        ref: __init__.py:149-151) choose thetaL/thetaU against those units.
+        Our GP fits on the unit-cube embedding where distances shrink by the
+        box width w_j, so the equivalent window is theta_raw * w_j^2 per
+        real dimension (one-hot/level dims already live on unit ranges).
+        Without this the MLE window is off by w^2 — 100x for [-5, 5] boxes:
+        measured on the q=8 MGFI parity config, theta kept pinning at the
+        unscaled lower bound (flat kernel directions), regret 2x the
+        reference's. Applied ONCE per model; the internal default model and
+        PCABO's per-iteration GPs are built directly in unit convention and
+        tagged as scaled."""
+        m = self.model
+        if not isinstance(m, GaussianProcess):
+            return
+        if getattr(m, "_theta_bounds_unit_scaled", False) or m.is_fitted:
+            return
+        if m.thetaL is None or m.thetaU is None:
+            return
+        enc = self.encoding
+        scale = np.ones(enc.d_embed)
+        for j, off in enc._scalar_cols:
+            if enc.is_real[j]:
+                scale[off] = float(enc.hi_t[j] - enc.lo_t[j]) ** 2
+        def expand(v):
+            v = np.atleast_1d(np.asarray(v, dtype=float))
+            return np.repeat(v, enc.d_embed) if v.size == 1 else v
+        tl, tu = expand(m.thetaL), expand(m.thetaU)
+        if tl.size != enc.d_embed or tu.size != enc.d_embed:
+            return  # custom layout: leave the user's bounds untouched
+        m.thetaL = tl * scale
+        m.thetaU = tu * scale
+        if m.theta0 is not None:
+            t0 = expand(m.theta0)
+            if t0.size == enc.d_embed:
+                m.theta0 = t0 * scale
+        m._theta_bounds_unit_scaled = True
 
     def _set_internal_optimization(self, opts: dict):
         """Pick the argmax engine (ref parity: base.py:192-229 + option.py)."""

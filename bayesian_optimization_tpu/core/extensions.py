@@ -182,6 +182,9 @@ class PCABO(BO):
             nugget=1e-6, likelihood="concentrated",
             random_start=max(10, k), random_state=self.random_seed,
         )
+        # already in unit convention (w^3 window above): must not be
+        # rescaled again if it ever passes through BaseBO adoption
+        self.model._theta_bounds_unit_scaled = True
         std = np.std(y)
         y_ = y if np.isclose(std, 0) else (y - np.mean(y)) / std
         self._fitness_mean = float(np.mean(y)) if not np.isclose(std, 0) else 0.0

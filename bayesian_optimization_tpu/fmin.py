@@ -45,14 +45,16 @@ def fmin(
         search_space = RealSpace(list(zip(lower, upper)), random_seed=seed)
 
     dim = search_space.dim
-    # The GP fits on the unit-cube embedding, so theta bounds are relative to
-    # a unit box (the reference scales them by the raw box widths,
-    # ref: __init__.py:149-151 — same effective prior after normalization).
+    # Reference parity: theta bounds proportional to the RAW box widths
+    # (ref: __init__.py:149-151); BaseBO rescales them onto the unit
+    # embedding the GP actually fits on (base.py
+    # _rescale_theta_bounds_to_unit).
+    widths = np.asarray([hi - lo for lo, hi in search_space.bounds], dtype=float)
     model = GaussianProcess(
         mean=constant_trend(dim),
         corr="matern",
-        thetaL=1e-3 * np.ones(dim),
-        thetaU=1e3 * np.ones(dim),
+        thetaL=1e-3 * widths,
+        thetaU=1e3 * widths,
         nugget=1e-6,
         noise_estim=False,
         optimizer="BFGS",

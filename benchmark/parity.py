@@ -69,8 +69,10 @@ def ours_config2(seed, acq):
     from bayesian_optimization_tpu.models.trend import constant_trend
 
     space = RealSpace([[-5.0, 5.0]] * 5, random_seed=seed)
+    # same RAW-coordinate theta bounds as the reference leg (_ref_gp);
+    # BaseBO rescales them onto the unit embedding
     gp = GaussianProcess(mean=constant_trend(5), corr="matern",
-                         thetaL=1e-3 * np.ones(5), thetaU=1e3 * np.ones(5),
+                         thetaL=1e-2 * np.ones(5), thetaU=1e4 * np.ones(5),
                          nugget=1e-6, random_state=seed)
     opt = BO(search_space=space, obj_fun=sphere, model=gp, DoE_size=10,
              max_FEs=40, acquisition_fun=acq, random_seed=seed)
@@ -85,7 +87,7 @@ def ours_config3(seed):
 
     space = RealSpace([[-5.0, 5.0]] * 5, random_seed=seed)
     gp = GaussianProcess(mean=constant_trend(5), corr="matern",
-                         thetaL=1e-3 * np.ones(5), thetaU=1e3 * np.ones(5),
+                         thetaL=1e-2 * np.ones(5), thetaU=1e4 * np.ones(5),
                          nugget=1e-6, random_state=seed)
     opt = ParallelBO(search_space=space, obj_fun=sphere, model=gp, n_point=8,
                      acquisition_fun="MGFI", acquisition_par={"t": 2.0},
