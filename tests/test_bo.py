@@ -207,3 +207,34 @@ def test_structured_state_space_mismatch(tmp_path):
                obj_fun=sphere, model=make_gp(3), DoE_size=4, max_FEs=12)
     with pytest.raises(ValueError):
         other.load_state(str(f))
+
+
+def test_theta_bounds_rescaled_to_unit_embedding():
+    """User theta bounds follow the reference's raw-coordinate convention;
+    BaseBO must rescale them by width^2 per real dim onto the unit
+    embedding, exactly once (the round-3 systemic regret bug)."""
+    from bayesian_optimization_tpu import BO, GaussianProcess, RealSpace
+    from bayesian_optimization_tpu.models.trend import constant_trend
+
+    space = RealSpace([[-5.0, 5.0]] * 3, random_seed=0)  # width 10 each
+    gp = GaussianProcess(mean=constant_trend(3), thetaL=1e-2 * np.ones(3),
+                         thetaU=1e4 * np.ones(3), nugget=1e-6, random_state=0)
+    opt = BO(search_space=space, obj_fun=lambda x: float(np.sum(np.asarray(x)**2)),
+             model=gp, DoE_size=4, max_FEs=8, random_seed=0)
+    assert np.allclose(gp.thetaL, 1e-2 * 100.0)
+    assert np.allclose(gp.thetaU, 1e4 * 100.0)
+    assert gp._theta_bounds_unit_scaled
+    # idempotent: a second adoption must not double-scale
+    opt._rescale_theta_bounds_to_unit()
+    assert np.allclose(gp.thetaL, 1e-2 * 100.0)
+
+    # scalar bounds broadcast then scale
+    gp2 = GaussianProcess(mean=constant_trend(3), thetaL=np.asarray([1e-3]),
+                          thetaU=np.asarray([1e3]), nugget=1e-6, random_state=0)
+    BO(search_space=space, obj_fun=lambda x: 0.0, model=gp2, DoE_size=4, max_FEs=8)
+    assert gp2.thetaL.shape == (3,) and np.allclose(gp2.thetaL, 0.1)
+
+    # the default model gets the reference's width-proportional window
+    opt3 = BO(search_space=space, obj_fun=lambda x: 0.0, DoE_size=4, max_FEs=8)
+    assert np.allclose(opt3.model.thetaL, 1e-3 * 10.0 * 100.0)  # 1e-3*w*w^2
+    assert np.allclose(opt3.model.thetaU, 1e3 * 10.0 * 100.0)
