@@ -18,7 +18,14 @@ from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
-from .bbob import AVAILABLE_FIDS, BBOBFunction
+try:
+    from .bbob import AVAILABLE_FIDS, BBOBFunction
+except ImportError:  # direct `python benchmark/harness.py` invocation
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    from benchmark.bbob import AVAILABLE_FIDS, BBOBFunction
 
 
 @dataclass
