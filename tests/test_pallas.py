@@ -73,3 +73,29 @@ def test_whiten_fused_flags_indefinite():
     # turns it NaN) — either way `piv > PIV_TOL` is False and the likelihood
     # penalty fires; assert exactly that predicate
     assert not (float(piv) > 0.0)
+
+
+def test_whiten_fused_aliasing_preserves_caller_r():
+    """L aliases R inside the kernel; the CALLER's R must never be
+    clobbered (XLA copies when the buffer is still live), and results must
+    be right when R is a jit-internal temporary."""
+    from bayesian_optimization_tpu.ops.pallas_kernels import whiten_fused
+
+    rng2 = np.random.default_rng(0)
+    n = 128
+    A = rng2.standard_normal((n, 16)).astype(np.float32)
+    R = jnp.asarray(A @ A.T / 16 + np.eye(n, dtype=np.float32))
+    B = jnp.ones((n, 1), jnp.float32)
+    R_before = np.asarray(R).copy()
+    jax.block_until_ready(whiten_fused(R, B, interpret=True))
+    assert np.array_equal(np.asarray(R), R_before)
+
+    @jax.jit
+    def f(x):
+        R2 = x @ x.T / 16 + jnp.eye(n)
+        d, W, piv, L, Dinv = whiten_fused(R2, B, interpret=True)
+        return d
+
+    d = jax.block_until_ready(f(jnp.asarray(A)))
+    L64 = np.linalg.cholesky((A @ A.T / 16 + np.eye(n)).astype(np.float64))
+    assert np.abs(np.asarray(d) - np.diag(L64)).max() < 1e-4
