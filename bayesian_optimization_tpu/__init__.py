@@ -11,6 +11,9 @@ __version__ = "0.1.0"
 import os as _os
 
 
+_cache_enabled_by_us = False
+
+
 def _enable_persistent_compile_cache() -> None:
     """Persistent XLA compilation cache, on by default where it is safe.
 
@@ -34,6 +37,7 @@ def _enable_persistent_compile_cache() -> None:
     )
     if remote_tpu and not _os.environ.get("BOTPU_COMPILE_CACHE"):
         return
+    global _cache_enabled_by_us
     try:
         import jax
 
@@ -45,6 +49,7 @@ def _enable_persistent_compile_cache() -> None:
             _os.makedirs(path, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", path)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            _cache_enabled_by_us = True
     except Exception:  # noqa: BLE001 - cache is an optimization, never fatal
         pass
 
@@ -70,9 +75,15 @@ def _ensure_cache_safe_for_backend() -> None:
     try:
         import jax
 
-        if "axon" in jax.default_backend().lower() and (
-            jax.config.jax_compilation_cache_dir is not None
-        ):
+        # the axon plugin registers its backend under platform name "tpu",
+        # so default_backend() never says "axon" — the plugin identity
+        # lives in the PJRT client's platform_version string
+        # (e.g. "PJRT C API\naxon 0.1.0; ...")
+        if not _cache_enabled_by_us:
+            return  # never touch a cache the user configured themselves
+        dev = jax.devices()[0]
+        version = str(getattr(dev.client, "platform_version", "")).lower()
+        if "axon" in version and jax.config.jax_compilation_cache_dir is not None:
             jax.config.update("jax_compilation_cache_dir", None)
     except Exception:  # noqa: BLE001 - diagnostics must never break fits
         pass

@@ -264,9 +264,12 @@ class BaseBO(BaseOptimizer):
         Without this the MLE window is off by w^2 — 100x for [-5, 5] boxes:
         measured on the q=8 MGFI parity config, theta kept pinning at the
         unscaled lower bound (flat kernel directions), regret 2x the
-        reference's. Applied ONCE per model; the internal default model and
-        PCABO's per-iteration GPs are built directly in unit convention and
-        tagged as scaled."""
+        reference's. Applied ONCE per model. NOTE: the internal default
+        model (_default_model) deliberately carries RAW width-proportional
+        bounds and NO tag — it relies on exactly this rescale (tagging it
+        would silently shrink the default theta window by width^2); only
+        PCABO's per-iteration GPs are built directly in unit convention
+        and tagged."""
         m = self.model
         if not isinstance(m, GaussianProcess):
             return
@@ -476,6 +479,25 @@ class BaseBO(BaseOptimizer):
         self.frange = self.fmax - self.fmin
 
         Xfeat = self._model_features(self.data)
+        # NonparametricTrend inside a BO loop: the GP fits on STANDARDIZED
+        # fitness whose mean/std change every tell, so a prior mean frozen
+        # in raw-y units would make the residual subtraction garbage —
+        # refit the wrapped forest on the current standardized targets
+        # (this also matches the reference's intended NonparametricTrend(X, y)
+        # usage, trend.py:145-151, which refits from data)
+        from ..models.trend import NonparametricTrend as _NPT
+
+        if isinstance(self.model, GaussianProcess) and isinstance(self.model.mean, _NPT):
+            from ..models.random_forest import RandomForest as _RF
+
+            wrapped = self.model.mean.model
+            if not isinstance(wrapped, _RF):
+                raise ValueError(
+                    "NonparametricTrend inside a BO loop must wrap a "
+                    "bayesian_optimization_tpu RandomForest (its XLA traversal "
+                    "is what lets the fused acquisition argmax see the prior)"
+                )
+            wrapped.fit(Xfeat, fitness_)
         self.model.fit(Xfeat, fitness_.reshape(-1, 1))
         y_hat = np.asarray(self.model.predict(Xfeat)).ravel()
         ss_res = float(np.sum((fitness_ - y_hat) ** 2))
@@ -496,6 +518,18 @@ class BaseBO(BaseOptimizer):
         out = dict(par)
         if self.acquisition_fun in ("EI", "PI", "EpsilonPI", "MGFI", "GEI") and "plugin" not in out:
             out["plugin"] = self.fmin if self.minimize else -self.fmax
+        # nonparametric prior mean: ship the RF state into the fused
+        # criterion so acquisition values see prior + residual, not the
+        # residual process alone (optim/argmax.make_unit_criterion)
+        from ..models.trend import NonparametricTrend as _NPT
+
+        if isinstance(self.model, GaussianProcess) and isinstance(self.model.mean, _NPT):
+            wrapped = self.model.mean.model
+            if getattr(wrapped, "is_fitted", False):
+                import numpy as _np
+
+                out["_prior_state"] = wrapped.posterior
+                out["_prior_depth"] = _np.int32(wrapped.config.max_depth)
         return out
 
     def _fixed_units(self, fixed: Optional[dict]) -> Optional[Dict[int, float]]:

@@ -55,18 +55,26 @@ def _mle_ladder_plan(n, n_pad, n_restarts, max_iter, multi_fidelity):
 
     Returns (rungs, final): rungs is a list of (ns, n_starts_in, iters)
     explore stages on data subsets; final is (n_starts_in, iters) for the
-    full-data _fit_kernel stage."""
+    full-data _fit_kernel stage.
+
+    Rung sizes are capped at the largest 128-multiple <= n (the blocked
+    Cholesky requires n % 128 == 0 above 128): deriving them from n_pad
+    alone crashed fit() for n in the upper-middle of a padding bucket —
+    e.g. n = 1100 pads to 4096 and the n_pad // 2 = 2048 rung asked
+    rng.choice for a 2048-subset of 1100 points."""
     if multi_fidelity and n >= 512 and n_restarts > 4:
+        cap = max(128, (n // 128) * 128)  # floor to a 128-multiple
         if n_pad // 4 >= 256:
-            # 3 rungs: all restarts on n/4, top 6 on n/2, top 2 on full data
-            return (
-                [(n_pad // 4, n_restarts, max(5, max_iter // 2)),
-                 (n_pad // 2, 6, max(5, max_iter // 4))],
-                (2, max(6, (3 * max_iter) // 10)),
-            )
-        # 2 rungs: all restarts on n/2, top 4 on full data
+            # 3 rungs: all restarts on ~n/4, top 6 on ~n/2, top 2 on full data
+            r1 = min(n_pad // 4, cap)
+            r2 = min(n_pad // 2, cap)
+            rungs = [(r1, n_restarts, max(5, max_iter // 2))]
+            if r2 > r1:
+                rungs.append((r2, 6, max(5, max_iter // 4)))
+            return rungs, (2 if r2 > r1 else 4, max(6, (3 * max_iter) // 10))
+        # 2 rungs: all restarts on ~n/2, top 4 on full data
         return (
-            [(n_pad // 2, n_restarts, max(5, max_iter // 2))],
+            [(min(n_pad // 2, cap), n_restarts, max(5, max_iter // 2))],
             (4, max(5, max_iter // 2)),
         )
     return [], (n_restarts, max_iter)
@@ -464,7 +472,9 @@ class GaussianProcess:
         return self
 
     # ------------------------------------------------------------------
-    def precompile(self, n: int, dim: int, m: int = 1) -> "GaussianProcess":
+    def precompile(
+        self, n: int, dim: int, m: int = 1, concurrent: object = None
+    ) -> "GaussianProcess":
         """Ahead-of-time compile the one XLA program a BFGS-path fit() at
         (n observations, dim features, m targets) needs: the fused
         `_ladder_kernel` (every MLE rung + the posterior state run inside a
@@ -477,8 +487,11 @@ class GaussianProcess:
         backends it would cost a full fit's FLOPs, so there we AOT-compile
         instead — CPU recompiles at call time are cheap and the persistent
         compile cache (enabled on CPU) bridges AOT to call.
-        No-op for non-BFGS optimizers.
+        No-op for non-BFGS optimizers. `concurrent` is accepted for
+        backward compatibility and ignored (the fused single-program ladder
+        left exactly one compile to warm, so there is nothing to overlap).
         """
+        del concurrent
         if self.optimizer in ("HMC", "NUTS", "CMA"):
             return self
 

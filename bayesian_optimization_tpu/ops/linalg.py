@@ -10,7 +10,10 @@ reference implementation hits the same operations through LAPACK
 idiomatic replacement is a fixed-shape blocked algorithm whose code size is
 O(1) in n:
 
-- `chol_and_inv(R)` returns (L, L_inv) for SPD R:
+- `chol_and_inv(R)` returns (L, L_inv, min_pivot) for SPD R — min_pivot
+  is the smallest raw Cholesky pivot BEFORE clamping; callers MUST treat
+  min_pivot <= ~0 as a failed factorization (the GP likelihood folds it
+  into its 1e12 penalty). Structure:
   * panel loop (`lax.fori_loop`, n/128 iterations) with an unblocked
     128-wide Cholesky (`fori_loop` over columns) per diagonal block;
   * explicit L^-1 via the block-nilpotent identity: with D the block
@@ -22,6 +25,9 @@ O(1) in n:
     against the saved L_inv — no triangular-solve expansion anywhere in
     the backward pass either.
 
+`whiten(R, B)` likewise returns (diag_L, L^-1 B, min_pivot), dispatching
+to the single-launch Pallas kernel (ops/pallas_kernels.whiten_fused) on
+TPU for 128 <= n <= 1024 and to the blocked XLA path elsewhere.
 With L_inv explicit, every downstream whitening solve (L^-1 y, L^-1 F,
 L^-T rho) is a plain matmul. Accuracy: an explicit triangular inverse is
 not backward-stable for ill-conditioned L, but the GP likelihood already

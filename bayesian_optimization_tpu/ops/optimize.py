@@ -9,9 +9,10 @@ R restarts is a single batched Cholesky/matmul on the MXU instead of R
 sequential scipy calls.
 
 Box bounds are enforced by a smooth sigmoid reparameterization
-x = lo + (hi - lo) * sigmoid(z) (the unconstrained z-space is what optax's
-L-BFGS + zoom line-search sees), rather than L-BFGS-B's active-set
-projection. Behavioral effect is the same: iterates stay strictly inside the
+x = lo + (hi - lo) * sigmoid(z) seen by a compact two-loop-recursion
+L-BFGS with Armijo backtracking (_lbfgs_compact; it replaced optax's
+lbfgs+zoom, whose ~15x objective inlining bloated the fused-fit
+executable), rather than L-BFGS-B's active-set projection. Behavioral effect is the same: iterates stay strictly inside the
 box, optima in the interior are reached to line-search precision.
 """
 from __future__ import annotations

@@ -55,9 +55,17 @@ def make_unit_criterion(
 ) -> Callable:
     """Build crit(U[P, dim]) -> value[P]: unit cube -> embed -> fused GP
     posterior -> acquisition. Larger is better."""
-    # reserved "_pca*" keys carry PCABO's out-of-box penalty parameters
-    # (ref parity: extension.py:62-86); they are not acquisition kwargs
-    pca_info = {k: v for k, v in acq_params.items() if k.startswith("_")}
+    # reserved "_"-prefixed keys are NOT acquisition kwargs:
+    # - "_pca*" carry PCABO's out-of-box penalty parameters
+    #   (ref parity: extension.py:62-86);
+    # - "_prior_state"/"_prior_depth" carry a NonparametricTrend's
+    #   XLA-traversable RF prior mean, added to the GP's RESIDUAL posterior
+    #   mean so acquisition values see the full prediction (without this
+    #   the fused argmax silently optimized the residual process only)
+    reserved = {k: v for k, v in acq_params.items() if k.startswith("_")}
+    pca_info = {k: v for k, v in reserved.items() if k.startswith("_pca") or k.startswith("_red") or k.startswith("_box")}
+    prior_state = reserved.get("_prior_state")
+    prior_depth = reserved.get("_prior_depth")
     acq_params = {k: v for k, v in acq_params.items() if not k.startswith("_")}
 
     def box_penalty(U: jnp.ndarray) -> jnp.ndarray:
@@ -78,6 +86,12 @@ def make_unit_criterion(
         if isinstance(config, GPConfig):
             Fq = trend_basis(config, E)
             mu, var = predict(state, E, Fq, config, True)
+            if prior_state is not None:
+                # residual GP + XLA-traversed RF prior mean (NonparametricTrend)
+                from ..models.random_forest import RFConfig as _RFC, rf_predict as _rfp
+
+                pm, _ = _rfp(prior_state, E, _RFC(max_depth=prior_depth))
+                mu = mu + pm.reshape(mu.shape)
         else:  # RF (or any surrogate exposing an (state, X, config) predict)
             from ..models.random_forest import rf_predict
 
@@ -332,9 +346,10 @@ class AcquisitionArgmax:
             fixed_mask = jnp.asarray(fm, dtype)
             fixed_vals = jnp.asarray(fv, dtype)
 
-        # keep typed arrays (PRNG keys, cell bounds) as-is; cast Python scalars
+        # keep typed arrays (PRNG keys, cell bounds) and pytrees (e.g. the
+        # RFState of a nonparametric prior) as-is; cast Python scalars
         params = {
-            k: v if hasattr(v, "dtype") else jnp.asarray(v, dtype)
+            k: v if (hasattr(v, "dtype") or isinstance(v, tuple)) else jnp.asarray(v, dtype)
             for k, v in acq_params.items()
         }
 
@@ -400,17 +415,23 @@ class AcquisitionArgmax:
             fixed_mask = jnp.asarray(fm, dtype)
             fixed_vals = jnp.asarray(fv, dtype)
 
-        # stack parameter dicts (same keys) along a leading q axis
+        # stack parameter dicts (same keys) along a leading q axis;
+        # pytree values (NamedTuples like a prior's RFState) stack per leaf
         keys_set = set(acq_params_list[0])
         if any(set(p) != keys_set for p in acq_params_list):
             raise ValueError("all parameter dicts must share the same keys")
-        params_batch = {
-            k: jnp.stack([
-                p[k] if hasattr(p[k], "dtype") else jnp.asarray(p[k], dtype)
+
+        def stack_key(k):
+            vals = [
+                p[k] if (hasattr(p[k], "dtype") or isinstance(p[k], tuple))
+                else jnp.asarray(p[k], dtype)
                 for p in acq_params_list
-            ])
-            for k in keys_set
-        }
+            ]
+            if isinstance(vals[0], tuple):
+                return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *vals)
+            return jnp.stack(vals)
+
+        params_batch = {k: stack_key(k) for k in keys_set}
         key = self._next_key()
         if self.method == "BFGS":
             x0 = jax.random.uniform(key, (q, self.n_restart, dim), dtype)

@@ -94,5 +94,14 @@ def evaluate_size(expr, dim: int) -> int:
     the single variable ``dim``, nothing else (no attribute access, no
     calls, no builtins).
     """
-    value = ConditionExpression(str(expr)).evaluate({"dim": int(dim)})
+    try:
+        value = ConditionExpression(str(expr)).evaluate({"dim": int(dim)})
+    except ValueError as exc:
+        raise ValueError(
+            f"cannot parse size expression {expr!r}: only arithmetic over "
+            "the variable 'dim' is accepted (e.g. '5*dim', 'dim**2 // 2'); "
+            "function calls and attribute access (like 'np.sqrt(dim)') are "
+            "deliberately rejected — precompute such values in Python and "
+            "pass the number"
+        ) from exc
     return int(value)

@@ -238,3 +238,36 @@ def test_theta_bounds_rescaled_to_unit_embedding():
     opt3 = BO(search_space=space, obj_fun=lambda x: 0.0, DoE_size=4, max_FEs=8)
     assert np.allclose(opt3.model.thetaL, 1e-3 * 10.0 * 100.0)  # 1e-3*w*w^2
     assert np.allclose(opt3.model.thetaU, 1e3 * 10.0 * 100.0)
+
+
+def test_bo_with_nonparametric_trend_prior_in_acquisition():
+    """A BO run with a NonparametricTrend GP must (a) refit the prior on the
+    standardized targets each tell and (b) feed the prior into the fused
+    acquisition argmax (round-3 review finding: the argmax used to optimize
+    the residual process only)."""
+    from bayesian_optimization_tpu import BO, GaussianProcess, RandomForest, RealSpace
+    from bayesian_optimization_tpu.models.trend import NonparametricTrend
+
+    def step_sphere(x):
+        x = np.asarray(x, dtype=float)
+        return float(np.sum(x**2) + (5.0 if x[0] > 0 else 0.0))
+
+    space = RealSpace([[-5.0, 5.0]] * 2, random_seed=0)
+    rf = RandomForest(n_estimators=15, random_state=0, feature_space="embedding")
+    trend = NonparametricTrend(rf)
+    gp = GaussianProcess(mean=trend, thetaL=1e-2 * np.ones(2),
+                         thetaU=1e4 * np.ones(2), nugget=1e-6, random_state=0)
+    opt = BO(search_space=space, obj_fun=step_sphere, model=gp,
+             DoE_size=6, max_FEs=16, random_seed=0)
+    opt.run()
+    assert opt.eval_count >= 16
+    assert rf.is_fitted  # the prior was (re)fitted inside the loop
+    # the acquisition params carry the prior state
+    pars = opt._acq_par_defaults({})
+    assert "_prior_state" in pars and "_prior_depth" in pars
+    # consistency: BO-path model predictions (prior + residual) at the data
+    # match the raw standardized targets reasonably (the combined model fits)
+    Xf = opt._model_features(opt.data)
+    yhat = np.asarray(opt.model.predict(Xf), dtype=float).ravel()
+    ystd = (opt.data.fitness[:, 0] - opt._fitness_mean) / opt._fitness_std
+    assert np.corrcoef(yhat, ystd)[0, 1] > 0.9

@@ -272,3 +272,20 @@ def test_hessian_mean_and_mse_vs_finite_differences():
                 ) / (4 * eps * eps)
         scale = max(1.0, float(np.abs(Hfd).max()))
         assert np.abs(H - Hfd).max() / scale < 0.15, (of, H, Hfd)
+
+
+def test_mle_ladder_plan_respects_n():
+    """Rung sizes must never exceed n (review finding: n in the upper-middle
+    of a padding bucket, e.g. 1100 in the 4096 bucket, crashed
+    rng.choice(n, size=2048)) and must stay 128-aligned for the blocked
+    Cholesky."""
+    from bayesian_optimization_tpu.models.gp import _mle_ladder_plan
+
+    for n, n_pad in ((1100, 4096), (1025, 4096), (4097, 16384), (2047, 4096),
+                     (1000, 1024), (600, 1024), (512, 1024)):
+        rungs, final = _mle_ladder_plan(n, n_pad, 10, 40, True)
+        for ns, n_in, iters in rungs:
+            assert ns <= n, (n, n_pad, rungs)
+            assert ns <= 128 or ns % 128 == 0, (n, n_pad, rungs)
+        sizes = [ns for ns, _, _ in rungs]
+        assert sizes == sorted(set(sizes)), (n, n_pad, rungs)  # strictly increasing
