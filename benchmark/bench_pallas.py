@@ -65,7 +65,13 @@ def main_whiten(n=1024, m=2, iters=20):
         print(f"{name}: {dt * 1e3:.3f} ms per (n={n}) factor+solve")
     d0, W0, _ = xla_path(R, B)
     d1, W1, _ = pls(R, B)
-    print("max|dW|:", float(jnp.max(jnp.abs(W0 - W1))))
+    # at this conditioning (nugget 1e-4) the XLA "high"-precision path can
+    # go NaN (caught by the likelihood's pivot penalty in real fits) while
+    # the full-precision Pallas kernel stays finite — report both
+    print("xla finite:", bool(jnp.all(jnp.isfinite(W0))),
+          "| pallas finite:", bool(jnp.all(jnp.isfinite(W1))))
+    print("max|dW| (nan => the XLA side diverged):",
+          float(jnp.max(jnp.abs(W0 - W1))))
 
 
 if __name__ == "__main__":
