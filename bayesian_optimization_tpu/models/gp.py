@@ -111,7 +111,8 @@ def _ladder_kernel(x0_batch, lo, hi, stages, noise_var, beta0, config, plan, max
     for i, (stage, (n_in, iters)) in enumerate(zip(stages, plan)):
         X, Y, F, mask, n = stage
         nll = lambda p, s=stage: neg_log_likelihood(
-            p, s[0], s[1], s[2], s[3], s[4], noise_var, beta0, config
+            p, s[0], s[1], s[2], s[3], s[4], noise_var, beta0, config,
+            prior_lo=lo, prior_hi=hi,
         )
         res = minimize_restarts(
             nll, xs[:n_in], lo, hi, max_iter=iters, max_linesearch_steps=max_ls
@@ -130,7 +131,9 @@ def _fit_kernel_hmc(key, x0_batch, lo, hi, X, Y, F, mask, n, noise_var, beta0, c
     PosteriorState of n_ensemble samples plus the chain acceptance rate."""
     from .hmc import hmc_sample, nuts_sample
 
-    logp = lambda p: -neg_log_likelihood(p, X, Y, F, mask, n, noise_var, beta0, config)
+    logp = lambda p: -neg_log_likelihood(
+        p, X, Y, F, mask, n, noise_var, beta0, config, prior_lo=lo, prior_hi=hi
+    )
     C = x0_batch.shape[0]
     per_chain = max(1, -(-n_ensemble // C))
     if sampler == "nuts":
@@ -161,7 +164,9 @@ def _fit_kernel_cma(key, x0_batch, lo, hi, X, Y, F, mask, n, noise_var, beta0, c
     from ..optim.cma import run_cma
 
     nll_batch = jax.vmap(
-        lambda p: neg_log_likelihood(p, X, Y, F, mask, n, noise_var, beta0, config)
+        lambda p: neg_log_likelihood(
+            p, X, Y, F, mask, n, noise_var, beta0, config, prior_lo=lo, prior_hi=hi
+        )
     )
     xb, fb, _, _ = run_cma(key, nll_batch, x0_batch, lo, hi, n_generations)
     state = posterior_state(xb, X, Y, F, mask, n, noise_var, beta0, config)
@@ -198,6 +203,7 @@ class GaussianProcess:
         max_iter: int = 40,
         max_linesearch_steps: int = 12,
         multi_fidelity: bool = True,
+        theta_prior_strength: float = 0.0,
     ):
         self.mean = mean
         self.corr_type = corr if isinstance(corr, str) else "custom"
@@ -220,6 +226,7 @@ class GaussianProcess:
         self.max_iter = int(max_iter)
         self.max_linesearch_steps = int(max_linesearch_steps)
         self.multi_fidelity = bool(multi_fidelity)
+        self.theta_prior_strength = float(theta_prior_strength)
         self.verbose = verbose
         self.dtype = dtype
         self._rng = np.random.default_rng(
@@ -273,6 +280,7 @@ class GaussianProcess:
             n_basis=n_basis,
             trend=trend_name,
             jitter=1e-6,
+            theta_prior_strength=self.theta_prior_strength,
         )
 
     def _trend_F(self, X: jnp.ndarray) -> jnp.ndarray:

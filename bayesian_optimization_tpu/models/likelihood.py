@@ -54,6 +54,12 @@ class GPConfig(NamedTuple):
     jitter: float = 1e-6
     n_ensemble: int = 0  # >0: PosteriorState carries a leading sample axis
                          # (HMC/VI posterior over hyperparameters)
+    theta_prior_strength: float = 0.0  # >0: MAP with a weak Gaussian prior
+        # on log10(theta), centered mid-bounds with sd = half the log-range.
+        # Cures the "white-noise" MLE pathology (theta -> upper bound makes
+        # the kernel ~ I, likelihood maximal with few points in high-D, and
+        # the acquisition surface collapses to variance-chasing); 0 = pure
+        # MLE (reference behavior)
 
 
 def trend_basis(config: "GPConfig", X: jnp.ndarray) -> jnp.ndarray:
@@ -199,9 +205,13 @@ def neg_log_likelihood(
     noise_var,
     beta0,
     config: GPConfig,
+    prior_lo=None,
+    prior_hi=None,
 ) -> jnp.ndarray:
     """Negative log-likelihood (summed over targets) for one log10-parameter
-    vector; vmap over axis 0 of `log10_par` for batched evaluation."""
+    vector; vmap over axis 0 of `log10_par` for batched evaluation.
+    With config.theta_prior_strength > 0 and (prior_lo, prior_hi) the
+    log10-space bounds, adds the MAP penalty described on GPConfig."""
     dtype = X.dtype
     theta, extra = split_params(log10_par.astype(dtype), config)
     R = _correlation_for_mode(theta, extra, X, mask, noise_var, config, dtype)
@@ -248,6 +258,11 @@ def neg_log_likelihood(
     # sits well below legitimate f32 pivots of jittered correlation
     # matrices (>= ~1e-7) but above the 1e-12 clamp floor.
     nll = -ll
+    if config.theta_prior_strength > 0.0 and prior_lo is not None:
+        mid = 0.5 * (prior_lo + prior_hi)
+        sd = jnp.maximum(0.5 * (prior_hi - prior_lo), 1e-6)
+        z = (log10_par.astype(dtype) - mid) / sd
+        nll = nll + config.theta_prior_strength * 0.5 * jnp.sum(z * z)
     ok = jnp.isfinite(nll) & (min_pivot > PIV_TOL)
     return jnp.where(ok, nll, jnp.asarray(1e12, dtype))
 

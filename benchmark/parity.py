@@ -118,6 +118,44 @@ def ours_config4(seed):
     return float(opt.xopt.fitness.ravel()[0]), time.perf_counter() - t0
 
 
+def ours_config5b(seed):
+    """NoisyBO on the 20-D noisy ellipsoid (the pinned config's NoisyBO half;
+    ref: bayes_opt.py:177-194). Regret is reported on the NOISELESS
+    ellipsoid at the recommended point."""
+    from bayesian_optimization_tpu import GaussianProcess, NoisyBO, RealSpace
+    from bayesian_optimization_tpu.models.trend import constant_trend
+
+    rng = np.random.default_rng(1000 + seed)
+    f_noisy = noisy_ellipsoid(rng)
+    space = RealSpace([[-5.0, 5.0]] * 20, random_seed=seed)
+    gp = GaussianProcess(mean=constant_trend(20), corr="matern",
+                         thetaL=1e-2 * np.ones(20), thetaU=1e4 * np.ones(20),
+                         nugget=1e-4, random_state=seed)
+    opt = NoisyBO(search_space=space, obj_fun=f_noisy, model=gp, n_point=4,
+                  acquisition_fun="MGFI", acquisition_par={"t": 2.0},
+                  DoE_size=20, max_FEs=60, random_seed=seed)
+    t0 = time.perf_counter()
+    opt.run()
+    xbest = np.asarray(opt.xopt.tolist()[0] if hasattr(opt.xopt, "tolist") else opt.xopt, dtype=float).ravel()
+    return ellipsoid20(xbest[:20]), time.perf_counter() - t0
+
+
+def ref_config5b(seed):
+    from bayes_optim import NoisyBO as RefNoisyBO
+    from bayes_optim import RealSpace as RefRealSpace
+
+    rng = np.random.default_rng(1000 + seed)
+    f_noisy = noisy_ellipsoid(rng)
+    space = RefRealSpace([[-5.0, 5.0]] * 20, random_seed=seed)
+    opt = RefNoisyBO(search_space=space, obj_fun=f_noisy, model=_ref_gp(20, seed),
+                     n_point=4, acquisition_fun="MGFI", acquisition_par={"t": 2.0},
+                     DoE_size=20, max_FEs=60, random_seed=seed)
+    t0 = time.perf_counter()
+    opt.run()
+    xbest = np.asarray(opt.xopt.tolist(), dtype=float).ravel()
+    return ellipsoid20(xbest[:20]), time.perf_counter() - t0
+
+
 def ours_config5(seed):
     from bayesian_optimization_tpu import PCABO, RealSpace
 
@@ -210,6 +248,7 @@ CONFIGS = {
     "3_parallelbo_mgfi_q8": (ours_config3, ref_config3),
     "4_mixed_mies": (ours_config4, ref_config4),
     "5_pcabo_elli20": (ours_config5, ref_config5),
+    "5b_noisybo_elli20": (ours_config5b, ref_config5b),
 }
 
 

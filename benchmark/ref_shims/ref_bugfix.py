@@ -42,6 +42,16 @@ intended; none makes the reference *better* than its design.
    (construction with random_seed=...) still seeds exactly once, keeping
    runs deterministic.
 
+4. NoisyBO's ask-backfill crashes on empty proposals (parity config 5b).
+   /root/reference/bayes_optim/bayes_opt.py:180-183 overrides
+   pre_eval_check to return a `Solution` (so duplicates are kept), but
+   base.py:288 then does `X += self.create_DoE(N)` — Solution.__add__ with
+   the plain LIST create_DoE returns, which numpy-broadcasts shapes like
+   (0,) against (N, dim) and dies whenever the acquisition argmax returns
+   fewer than n_point candidates. Patch: return the kept candidates as a
+   list (the no-dedup semantics are unchanged; base.py:298 re-wraps into a
+   Solution right after the backfill).
+
 Call apply() BEFORE running any reference optimizer (after
 ref_sklearn_compat.apply()).
 """
@@ -85,6 +95,18 @@ def apply() -> None:
 
         __call__._ref_bugfix = True
         aopt.Penalized.__call__ = __call__
+
+    # -- 4. NoisyBO.pre_eval_check: keep the list type ask() expects -----
+    import bayes_optim.bayes_opt as bo_mod
+
+    if not getattr(bo_mod.NoisyBO.pre_eval_check, "_ref_bugfix", False):
+        def pre_eval_check(self, X):
+            if hasattr(X, "tolist") and not isinstance(X, list):
+                X = X.tolist()
+            return list(X)
+
+        pre_eval_check._ref_bugfix = True
+        bo_mod.NoisyBO.pre_eval_check = pre_eval_check
 
     # -- 3. SearchSpace.__getitem__: no global re-seeding ----------------
     from bayes_optim.search_space import SearchSpace

@@ -289,3 +289,24 @@ def test_mle_ladder_plan_respects_n():
             assert ns <= 128 or ns % 128 == 0, (n, n_pad, rungs)
         sizes = [ns for ns, _, _ in rungs]
         assert sizes == sorted(set(sizes)), (n, n_pad, rungs)  # strictly increasing
+
+
+def test_theta_prior_pulls_away_from_white_noise_basin():
+    """With few points in high-D, pure MLE can prefer theta at the upper
+    bound (kernel ~ I, a 'white noise' fit). A strong MAP prior must pull
+    the estimate toward mid-bounds; strength 0 must reproduce pure MLE."""
+    from bayesian_optimization_tpu import GaussianProcess
+    from bayesian_optimization_tpu.models.trend import constant_trend
+
+    rng = np.random.default_rng(0)
+    X = rng.uniform(0, 1, (20, 10))
+    y = rng.standard_normal(20)  # pure noise: MLE loves theta -> huge
+    kw = dict(mean=constant_trend(10), thetaL=1e-2 * np.ones(10),
+              thetaU=1e6 * np.ones(10), nugget=1e-6, random_state=0)
+    gp0 = GaussianProcess(**kw).fit(X, y)
+    gp1 = GaussianProcess(theta_prior_strength=50.0, **kw).fit(X, y)
+    # strong prior => log10 theta near the mid of [-2, 6] (i.e. 2)
+    mid_dist0 = np.abs(np.log10(gp0.theta_) - 2.0).mean()
+    mid_dist1 = np.abs(np.log10(gp1.theta_) - 2.0).mean()
+    assert mid_dist1 < mid_dist0
+    assert mid_dist1 < 1.0, gp1.theta_
