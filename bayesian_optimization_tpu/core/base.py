@@ -30,7 +30,7 @@ from typing import Callable, Dict, List, Optional, Tuple, Union
 import numpy as np
 
 from ..models.gp import GaussianProcess
-from ..models.trend import constant_trend
+from ..models.trend import NonparametricTrend, constant_trend
 from ..optim.argmax import AcquisitionArgmax
 from ..space import SearchSpace
 from ..utils import (
@@ -235,10 +235,7 @@ class BaseBO(BaseOptimizer):
         then maps them onto the unit embedding."""
         enc = self.encoding
         d = enc.d_embed
-        w = np.ones(d)
-        for j, off in enc._scalar_cols:
-            if enc.is_real[j]:
-                w[off] = float(enc.hi_t[j] - enc.lo_t[j])
+        w = enc.embed_widths()
         return GaussianProcess(
             mean=constant_trend(d),
             corr="matern",
@@ -278,10 +275,7 @@ class BaseBO(BaseOptimizer):
         if m.thetaL is None or m.thetaU is None:
             return
         enc = self.encoding
-        scale = np.ones(enc.d_embed)
-        for j, off in enc._scalar_cols:
-            if enc.is_real[j]:
-                scale[off] = float(enc.hi_t[j] - enc.lo_t[j]) ** 2
+        scale = enc.embed_widths() ** 2
         def expand(v):
             v = np.atleast_1d(np.asarray(v, dtype=float))
             return np.repeat(v, enc.d_embed) if v.size == 1 else v
@@ -485,9 +479,7 @@ class BaseBO(BaseOptimizer):
         # refit the wrapped forest on the current standardized targets
         # (this also matches the reference's intended NonparametricTrend(X, y)
         # usage, trend.py:145-151, which refits from data)
-        from ..models.trend import NonparametricTrend as _NPT
-
-        if isinstance(self.model, GaussianProcess) and isinstance(self.model.mean, _NPT):
+        if isinstance(self.model, GaussianProcess) and isinstance(self.model.mean, NonparametricTrend):
             from ..models.random_forest import RandomForest as _RF
 
             wrapped = self.model.mean.model
@@ -521,15 +513,11 @@ class BaseBO(BaseOptimizer):
         # nonparametric prior mean: ship the RF state into the fused
         # criterion so acquisition values see prior + residual, not the
         # residual process alone (optim/argmax.make_unit_criterion)
-        from ..models.trend import NonparametricTrend as _NPT
-
-        if isinstance(self.model, GaussianProcess) and isinstance(self.model.mean, _NPT):
+        if isinstance(self.model, GaussianProcess) and isinstance(self.model.mean, NonparametricTrend):
             wrapped = self.model.mean.model
             if getattr(wrapped, "is_fitted", False):
-                import numpy as _np
-
                 out["_prior_state"] = wrapped.posterior
-                out["_prior_depth"] = _np.int32(wrapped.config.max_depth)
+                out["_prior_depth"] = np.int32(wrapped.config.max_depth)
         return out
 
     def _fixed_units(self, fixed: Optional[dict]) -> Optional[Dict[int, float]]:

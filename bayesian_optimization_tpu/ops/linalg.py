@@ -39,6 +39,7 @@ on representative kernel matrices (tests/test_linalg.py).
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -280,9 +281,7 @@ def _use_fused_whiten(n: int) -> bool:
     the bucket sizes whose R + L fit VMEM (n <= 1024). Everything else
     (CPU tests, giant buckets) takes the blocked XLA path below.
     BOTPU_NO_FUSED_WHITEN=1 forces the XLA path (A/B benchmarking)."""
-    import os as _os
-
-    if _os.environ.get("BOTPU_NO_FUSED_WHITEN"):
+    if os.environ.get("BOTPU_NO_FUSED_WHITEN"):
         return False
     try:
         if jax.default_backend() != "tpu":

@@ -63,7 +63,8 @@ def make_unit_criterion(
     #   mean so acquisition values see the full prediction (without this
     #   the fused argmax silently optimized the residual process only)
     reserved = {k: v for k, v in acq_params.items() if k.startswith("_")}
-    pca_info = {k: v for k, v in reserved.items() if k.startswith("_pca") or k.startswith("_red") or k.startswith("_box")}
+    _PCA_KEYS = ("_pca_C", "_pca_offset", "_box_lo", "_box_hi", "_red_lo", "_red_hi")
+    pca_info = {k: reserved[k] for k in _PCA_KEYS if k in reserved}
     prior_state = reserved.get("_prior_state")
     prior_depth = reserved.get("_prior_depth")
     acq_params = {k: v for k, v in acq_params.items() if not k.startswith("_")}

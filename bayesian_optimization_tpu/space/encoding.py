@@ -89,6 +89,18 @@ class SpaceEncoding:
         self._scalar_cols = scalar_cols
         self._onehot_specs = onehot_specs
 
+    def embed_widths(self):
+        """Per-embedding-dim RAW widths: hi_t - lo_t for real scalar slots,
+        1.0 for level/one-hot slots (used to map the reference's
+        raw-coordinate theta conventions onto the unit embedding)."""
+        import numpy as _np
+
+        w = _np.ones(self.d_embed)
+        for j, off in self._scalar_cols:
+            if self.is_real[j]:
+                w[off] = float(self.hi_t[j] - self.lo_t[j])
+        return w
+
     # ----------------------------------------------------------- jax codecs
     def quantize_unit(self, U: jnp.ndarray) -> jnp.ndarray:
         """Snap discrete columns of a unit-cube batch to their level grid.
