@@ -79,6 +79,97 @@ def test_bo_with_hmc_gp():
     xopt, fopt, _ = opt.run()
     assert opt.eval_count == 10
     assert fopt[0] < 10.0
+    # the ensemble (posterior-mixture) path must actually be what the fused
+    # acquisition argmax consumed — not a silent point-posterior fallback
+    assert opt.model._config_cache.n_ensemble == 4
+    assert opt.model.theta_samples_.shape == (4, 2)
+
+
+def test_unknown_optimizer_raises():
+    """A typo'd optimizer string must fail fast, not silently run BFGS
+    (ref parity: the reference validates its switch, gpr.py:1127-1181)."""
+    with pytest.raises(ValueError, match="unknown optimizer"):
+        GaussianProcess(
+            thetaL=1e-3 * np.ones(2), thetaU=1e3 * np.ones(2), optimizer="VII"
+        )
+
+
+def _fit_moments(optimizer, X, y, seed=0, **extra):
+    gp = GaussianProcess(
+        mean=constant_trend(2), corr="matern",
+        thetaL=1e-3 * np.ones(2), thetaU=1e3 * np.ones(2),
+        nugget=1e-6, optimizer=optimizer, random_state=seed,
+    )
+    for k, v in extra.items():
+        setattr(gp, k, v)
+    gp.n_ensemble = 8
+    gp.fit(X, y)
+    Xt = np.random.default_rng(99).uniform(-1.5, 1.5, (30, 2))
+    mu, mse = gp.predict(Xt, eval_MSE=True)
+    return gp, np.asarray(mu), np.asarray(mse)
+
+
+def test_gp_vi_fit_matches_hmc_moments():
+    """VI-fit GP posterior moments must agree with the HMC-fit GP on the
+    same data (the VERDICT round-3 'wire VI into the GP' criterion)."""
+    rng = np.random.default_rng(0)
+    X = rng.uniform(-2, 2, (20, 2))
+    y = np.sin(2 * X[:, 0]) + 0.5 * X[:, 1] + 0.05 * rng.standard_normal(20)
+    gp_vi, mu_vi, mse_vi = _fit_moments("VI", X, y, vi_steps=500)
+    gp_hmc, mu_hmc, mse_hmc = _fit_moments("HMC", X, y, hmc_warmup=100)
+    assert gp_vi.theta_samples_.shape == (8, 2)
+    assert gp_vi._config_cache.n_ensemble == 8
+    assert np.all(np.isfinite(mu_vi)) and np.all(mse_vi >= 0)
+    # posterior means agree within the scale of the function
+    scale = np.std(y)
+    assert np.max(np.abs(mu_vi - mu_hmc)) < 0.5 * scale, np.max(np.abs(mu_vi - mu_hmc))
+    # both generalize: correlation with truth on held-out points
+    Xt = np.random.default_rng(99).uniform(-1.5, 1.5, (30, 2))
+    yt = np.sin(2 * Xt[:, 0]) + 0.5 * Xt[:, 1]
+    assert np.corrcoef(mu_vi, yt)[0, 1] > 0.9
+
+
+def test_bo_with_vi_gp():
+    """End-to-end BO with a VI posterior-ensemble GP (north star e2e)."""
+    gp = GaussianProcess(
+        mean=constant_trend(2), corr="matern",
+        thetaL=1e-3 * np.ones(2), thetaU=1e3 * np.ones(2),
+        nugget=1e-6, optimizer="VI", random_state=0,
+    )
+    gp.vi_steps = 200
+    gp.n_ensemble = 4
+    space = RealSpace([[-5, 5]] * 2, random_seed=0)
+    opt = BO(
+        search_space=space, obj_fun=lambda x: float(np.sum(np.asarray(x) ** 2)),
+        model=gp, DoE_size=5, max_FEs=10, random_seed=0,
+    )
+    xopt, fopt, _ = opt.run()
+    assert opt.eval_count == 10
+    assert fopt[0] < 10.0
+    assert opt.model._config_cache.n_ensemble == 4
+
+
+def test_bo_with_nuts_gp():
+    """End-to-end BO with a NUTS posterior-ensemble GP through
+    DoE -> fit -> ask -> tell to budget (VERDICT round-3 item 3)."""
+    gp = GaussianProcess(
+        mean=constant_trend(2), corr="matern",
+        thetaL=1e-3 * np.ones(2), thetaU=1e3 * np.ones(2),
+        nugget=1e-6, optimizer="NUTS", random_state=0,
+    )
+    gp.hmc_warmup = 40
+    gp.n_ensemble = 4
+    space = RealSpace([[-5, 5]] * 2, random_seed=0)
+    opt = BO(
+        search_space=space, obj_fun=lambda x: float(np.sum(np.asarray(x) ** 2)),
+        model=gp, DoE_size=5, max_FEs=10, random_seed=0,
+    )
+    xopt, fopt, _ = opt.run()
+    assert opt.eval_count == 10
+    # regret sane on the 2-D sphere over [-5,5]^2 (random search median ~2.5)
+    assert fopt[0] < 10.0
+    assert opt.model._config_cache.n_ensemble == 4
+    assert opt.model.theta_samples_.shape == (4, 2)
 
 
 def test_nuts_moments_match_truth_and_hmc():
