@@ -2,16 +2,20 @@
 
 Capability parity with the reference's vendored BoTorch partitioning stack
 (ref: bayes_optim/utils/multi_objective/box_decompositions/
-box_decomposition.py:29-330, non_dominated.py:29-333): given a Pareto front
-(maximization) and a reference point, produce hypercells [lower, upper]
-covering the region that is above `ref` and not dominated by the front —
-the integration domain of EHVI [Yang2019].
+box_decomposition.py:29-330, non_dominated.py:29-333 and the fast variant
+`FastNondominatedPartitioning` [Yang2019] at non_dominated.py:334+): given a
+Pareto front (maximization) and a reference point, produce hypercells
+[lower, upper] covering the region that is above `ref` and not dominated by
+the front — the integration domain of EHVI [Yang2019].
 
-Design difference: instead of the reference's recursive binary partitioning,
-cells come from the coordinate grid spanned by the front (every grid cell is
-either entirely dominated or entirely non-dominated, so the decomposition is
-exact); upper boundary cells extend to +inf. Cell counts are (n+1)^m for an
-n-point front — fine for BO-scale fronts and fully vectorized.
+Algorithm: recursive slab slicing along the last objective. The axis is cut
+at the front's coordinate values; within one slab only the points whose last
+coordinate reaches the slab's UPPER edge can dominate, so the slab reduces to
+an (m-1)-dimensional instance over the projected (re-Pareto-filtered) front.
+m=1 terminates with a single ray. Cell counts are O(n) at m=2 (the classic
+staircase) and O(n^{m-1}) in general — e.g. ~2.6k cells for an m=3, n=50
+front where the previous coordinate-grid decomposition (kept below as
+`_grid_cells` for golden tests) spawned (n+1)^m ~ 132k.
 """
 from __future__ import annotations
 
@@ -20,6 +24,54 @@ from typing import Tuple
 import numpy as np
 
 from .pareto import is_non_dominated
+
+
+def _slab_cells(ref: np.ndarray, P: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact decomposition of {y >= ref : no p in P dominates y} into
+    half-open boxes. P: (n, m) in maximization orientation. Returns
+    (lo, hi), each (K, m); upper boundary cells extend to +inf."""
+    m = ref.shape[0]
+    if len(P) == 0:
+        return ref[None, :].copy(), np.full((1, m), np.inf)
+    if m == 1:
+        lo = max(float(P.max()), float(ref[0]))
+        return np.asarray([[lo]]), np.asarray([[np.inf]])
+    zs = np.unique(np.concatenate([ref[-1:], P[:, -1][P[:, -1] > ref[-1]]]))
+    zs = np.concatenate([zs, [np.inf]])
+    los, his = [], []
+    for z0, z1 in zip(zs[:-1], zs[1:]):
+        # a point can dominate the slab's interior (y[-1] > z0) only if its
+        # own last coordinate reaches the next grid line
+        sub = P[P[:, -1] >= z1, :-1]
+        if len(sub) > 1:
+            sub = sub[np.asarray(is_non_dominated(sub))]
+        slo, shi = _slab_cells(ref[:-1], sub)
+        k = len(slo)
+        los.append(np.column_stack([slo, np.full(k, z0)]))
+        his.append(np.column_stack([shi, np.full(k, z1)]))
+    return np.concatenate(los, axis=0), np.concatenate(his, axis=0)
+
+
+def _grid_cells(ref: np.ndarray, P: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """The previous (n+1)^m coordinate-grid decomposition; exact but
+    exponential in m. Retained as the golden oracle the fast slab
+    decomposition is tested against."""
+    m = ref.shape[0]
+    if len(P) == 0:
+        return ref[None, :].copy(), np.full((1, m), np.inf)
+    axes = []
+    for j in range(m):
+        vals = np.unique(np.concatenate([[ref[j]], P[:, j][P[:, j] > ref[j]]]))
+        axes.append(np.concatenate([vals, [np.inf]]))
+    lowers = np.meshgrid(*[a[:-1] for a in axes], indexing="ij")
+    uppers = np.meshgrid(*[a[1:] for a in axes], indexing="ij")
+    lo = np.stack([g.ravel() for g in lowers], axis=1)
+    hi = np.stack([g.ravel() for g in uppers], axis=1)
+    # grid lines pass through pareto coordinates, so p dominates the open
+    # cell interior iff p > lo in all coordinates
+    dominated = np.any(np.all(P[None, :, :] > lo[:, None, :], axis=2), axis=1)
+    keep = ~dominated
+    return lo[keep], hi[keep]
 
 
 class NondominatedPartitioning:
@@ -39,40 +91,10 @@ class NondominatedPartitioning:
             raise ValueError("Y and ref_point dimensionality mismatch")
         mask = np.asarray(is_non_dominated(Y))
         self.pareto_Y = Y[mask]
-        self._compute_cells()
-
-    def _compute_cells(self) -> None:
-        m = self.num_outcomes
-        P = self.pareto_Y
-        ref = self.ref_point
-        if len(P) == 0:
-            self.cell_lower = ref[None, :]
-            self.cell_upper = np.full((1, m), np.inf)
-            return
-        axes = []
-        for j in range(m):
-            vals = np.unique(np.concatenate([[ref[j]], P[:, j][P[:, j] > ref[j]]]))
-            axes.append(np.concatenate([vals, [np.inf]]))
-        lowers = np.meshgrid(*[a[:-1] for a in axes], indexing="ij")
-        uppers = np.meshgrid(*[a[1:] for a in axes], indexing="ij")
-        lo = np.stack([g.ravel() for g in lowers], axis=1)
-        hi = np.stack([g.ravel() for g in uppers], axis=1)
-        # a cell belongs to the non-dominated region iff NO pareto point
-        # dominates its lower corner (strictly above in every coordinate
-        # would over-count boundaries; cells are [lo, hi) so the test is
-        # p >= hi... careful: dominated region = {y: exists p, p >= y}. For
-        # the half-open cell, dominated <=> exists p with p >= hi - eps in
-        # all coords <=> p >= lo and p >= (cell interior) — use p >= hi
-        # component-wise on the finite part is wrong for inf; test the lower
-        # corner + epsilon = dominated iff some p > lo in all coordinates
-        # (p >= lo with strict in the coords where it matters). Since grid
-        # lines pass through pareto coordinates, p dominates the open cell
-        # interior iff p >= hi for finite coords... equivalently p > lo in
-        # all coords:
-        dominated = np.any(np.all(P[None, :, :] > lo[:, None, :], axis=2), axis=1)
-        keep = ~dominated
-        self.cell_lower = lo[keep]
-        self.cell_upper = hi[keep]
+        # only points strictly above ref in EVERY coordinate can dominate
+        # any part of {y >= ref} beyond a measure-zero boundary
+        P = self.pareto_Y[np.all(self.pareto_Y > self.ref_point, axis=1)]
+        self.cell_lower, self.cell_upper = _slab_cells(self.ref_point, P)
 
     def get_hypercell_bounds(self) -> np.ndarray:
         """(2, K, m) stacked [lower, upper] bounds (reference surface)."""
