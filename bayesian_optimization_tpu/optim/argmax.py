@@ -228,6 +228,55 @@ def _mies_argmax(
 
 @partial(
     jax.jit,
+    static_argnames=("encoding", "config", "acq_name", "minimize", "n_rounds", "n_moves"),
+)
+def _smc_argmax(
+    key, state, config, encoding, acq_name, acq_params, minimize,
+    x0, fixed_mask, fixed_vals, n_rounds, n_moves,
+):
+    from .smc import run_smc
+
+    crit = make_unit_criterion(
+        encoding, state, config, acq_name, acq_params, minimize, fixed_mask, fixed_vals
+    )
+    dim = x0.shape[-1]
+    xb, fb, _, _ = run_smc(
+        key, lambda U: -crit(U), x0, jnp.zeros(dim), jnp.ones(dim), n_rounds, n_moves
+    )
+    if fixed_mask is not None:
+        xb = jnp.where(fixed_mask > 0, fixed_vals, xb)
+    return xb, -fb
+
+
+@partial(
+    jax.jit,
+    static_argnames=("encoding", "config", "acq_name", "minimize", "n_rounds", "n_moves"),
+)
+def _smc_argmax_batch(
+    key, state, config, encoding, acq_name, acq_params_batch, minimize,
+    x0_batch, fixed_mask, fixed_vals, n_rounds, n_moves,
+):
+    from .smc import run_smc
+
+    def one(k, params, x0):
+        crit = make_unit_criterion(
+            encoding, state, config, acq_name, params, minimize, fixed_mask, fixed_vals
+        )
+        dim = x0.shape[-1]
+        xb, fb, _, _ = run_smc(
+            k, lambda U: -crit(U), x0, jnp.zeros(dim), jnp.ones(dim), n_rounds, n_moves
+        )
+        if fixed_mask is not None:
+            xb = jnp.where(fixed_mask > 0, fixed_vals, xb)
+        return xb, -fb
+
+    q = x0_batch.shape[0]
+    keys = jax.random.split(key, q)
+    return jax.vmap(one)(keys, acq_params_batch, x0_batch)
+
+
+@partial(
+    jax.jit,
     static_argnames=("encoding", "config", "acq_name", "minimize", "max_iter"),
 )
 def _bfgs_argmax_batch(
@@ -283,6 +332,8 @@ class AcquisitionArgmax:
     method: 'BFGS' (gradient multi-start; continuous spaces),
             'OnePlusOne_Cholesky_CMA' (vectorized ES; any space),
             'MIES' (mixed-space ES; alias of the masked ES path for now),
+            'SMC' (CMA chains with annealed systematic resampling between
+            move blocks — optim/smc.py, the north-star particle loop),
             'auto' — BFGS for all-real spaces, ES otherwise
             (ref parity: the optimizer selection logic of base.py:192-229).
     """
@@ -314,6 +365,9 @@ class AcquisitionArgmax:
         self.max_FEs = budget
         self.n_generations = max(16, int(budget // self.n_chains))
         self.max_iter = 40
+        # SMC: same chain budget split into resampling rounds x move blocks
+        self.n_smc_rounds = 6
+        self.n_smc_moves = max(4, self.n_generations // (self.n_smc_rounds + 1))
         self._spec = MIESSpec.from_encoding(encoding)
         # MIES budget: n_restart runs of (4,10)-ES; lambda evals/generation
         self.n_mies_restarts = max(4, (n_restart or 5 * dim) // 4)
@@ -382,6 +436,12 @@ class AcquisitionArgmax:
                 fixed_mask, fixed_vals, self._spec,
                 self.n_mies_restarts, self.n_mies_generations,
             )
+        elif self.method == "SMC":
+            x0 = shard(jax.random.uniform(key, (self.n_chains, dim), dtype))
+            u, val = _smc_argmax(
+                key, state, config, self.encoding, acq_name, params, minimize,
+                x0, fixed_mask, fixed_vals, self.n_smc_rounds, self.n_smc_moves,
+            )
         else:
             x0 = shard(jax.random.uniform(key, (self.n_chains, dim), dtype))
             u, val = _cma_argmax(
@@ -439,6 +499,12 @@ class AcquisitionArgmax:
             us, vals = _bfgs_argmax_batch(
                 key, state, config, self.encoding, acq_name, params_batch, minimize,
                 x0, fixed_mask, fixed_vals, self.max_iter,
+            )
+        elif self.method == "SMC":
+            x0 = jax.random.uniform(key, (q, self.n_chains, dim), dtype)
+            us, vals = _smc_argmax_batch(
+                key, state, config, self.encoding, acq_name, params_batch, minimize,
+                x0, fixed_mask, fixed_vals, self.n_smc_rounds, self.n_smc_moves,
             )
         else:
             x0 = jax.random.uniform(key, (q, self.n_chains, dim), dtype)
