@@ -42,16 +42,20 @@ class MinimizeResult(NamedTuple):
 
 
 def _lbfgs_compact(zfun, z0, max_iter, memory_size, max_linesearch_steps):
-    """Two-loop-recursion L-BFGS with Armijo backtracking, built so the
-    objective is instantiated EXACTLY TWICE in the generated code: one
-    value_and_grad per iteration plus one value-only call inside the
-    backtracking while_loop. optax's lbfgs+zoom inlines the objective
-    ~15x per call site (measured on the fused GP-fit ladder: 45 Cholesky
-    instantiations -> a 22 MB TPU executable whose LOAD through the
-    remote-TPU tunnel dominated cold-start); with the GP likelihood as the
-    objective, code size ~ objective instantiations, so this cuts the
-    executable roughly 4-5x at equal optimization quality (goldens in
-    tests/test_gp.py, NLL-parity asserted in tests/test_optimize.py)."""
+    """Two-loop-recursion L-BFGS with Armijo backtracking, flattened into a
+    SINGLE while_loop state machine so the objective is instantiated
+    EXACTLY ONCE in the generated code: every evaluation — the initial
+    point, each backtracking probe, and the accepted step — flows through
+    the one value_and_grad call in the loop body. Two prior designs
+    motivated this: optax's lbfgs+zoom inlined the objective ~15x per call
+    site (45 Cholesky instantiations -> a 22 MB TPU executable whose LOAD
+    through the remote-TPU tunnel dominated cold-start), and the scan-of-
+    while successor still instantiated it 3x (init vg + line-search value
+    + accept vg), with XLA cloning the likelihood's Cholesky loop bodies
+    at every site. One site also deletes real FLOPs: the accepted point
+    used to be evaluated twice (value in the line search, value+grad on
+    accept). Optimization quality is golden-tested in tests/test_gp.py and
+    NLL-parity asserted in tests/test_optimize.py."""
     d = z0.shape[0]
     dtype = z0.dtype
     m = memory_size
@@ -67,9 +71,13 @@ def _lbfgs_compact(zfun, z0, max_iter, memory_size, max_linesearch_steps):
         rho: jnp.ndarray    # (m,)
         k: jnp.ndarray      # number of accepted curvature pairs
         gamma: jnp.ndarray  # initial Hessian scale
+        p: jnp.ndarray      # (d,) current search direction
+        gTp: jnp.ndarray    # directional derivative at the step base
+        t: jnp.ndarray      # current trial step length
+        n_probe: jnp.ndarray   # backtracking probes taken this step
+        n_accept: jnp.ndarray  # completed iterations
 
     def direction(st: St) -> jnp.ndarray:
-        idx = jnp.arange(m)
         nv = jnp.minimum(st.k, m)
 
         def bwd(i, carry):
@@ -98,33 +106,25 @@ def _lbfgs_compact(zfun, z0, max_iter, memory_size, max_linesearch_steps):
         ok = (st.k > 0) & (jnp.dot(p, st.g) < 0.0) & jnp.all(jnp.isfinite(p))
         return jnp.where(ok, p, -st.g)
 
-    def step(st: St, _):
-        p = direction(st)
-        gTp = jnp.dot(st.g, p)
+    def cond(st: St):
+        # +1: the first "iteration" is the state machine evaluating z0
+        return st.n_accept < max_iter + 1
 
-        def ls_cond(carry):
-            t, n, f_t = carry
-            armijo = f_t <= st.f + c1 * t * gTp
-            return (~armijo) & (n < max_linesearch_steps)
+    def body(st: St):
+        z_trial = jnp.clip(st.z + st.t * st.p, -_Z_CLIP, _Z_CLIP)
+        f_t, g_t = vg(z_trial)  # the ONE objective instantiation
+        armijo = f_t <= st.f + c1 * st.t * st.gTp
+        exhausted = st.n_probe >= max_linesearch_steps
+        stop_probing = armijo | exhausted
 
-        def ls_body(carry):
-            t, n, _ = carry
-            t = 0.5 * t
-            f_t = zfun(jnp.clip(st.z + t * p, -_Z_CLIP, _Z_CLIP))
-            return t, n + 1, f_t
+        # -------- line-search continues: halve t, try again -------------
+        probe_st = st._replace(t=0.5 * st.t, n_probe=st.n_probe + 1)
 
-        t0 = jnp.asarray(1.0, dtype)
-        f_t0 = zfun(jnp.clip(st.z + t0 * p, -_Z_CLIP, _Z_CLIP))
-        t, _, f_t = jax.lax.while_loop(ls_cond, ls_body, (t0, jnp.asarray(0, jnp.int32), f_t0))
-
-        z_new = jnp.clip(st.z + t * p, -_Z_CLIP, _Z_CLIP)
-        f_new, g_new = vg(z_new)
-        # reject a non-improving or non-finite step entirely
-        good = jnp.isfinite(f_new) & (f_new <= st.f)
-        z_new = jnp.where(good, z_new, st.z)
-        f_new = jnp.where(good, f_new, st.f)
-        g_new = jnp.where(good, g_new, st.g)
-
+        # -------- step concludes: accept if finite and improving --------
+        good = jnp.isfinite(f_t) & (f_t <= st.f)
+        z_new = jnp.where(good, z_trial, st.z)
+        f_new = jnp.where(good, f_t, st.f)
+        g_new = jnp.where(good, g_t, st.g)
         s = z_new - st.z
         y = g_new - st.g
         sy = jnp.dot(s, y)
@@ -135,16 +135,31 @@ def _lbfgs_compact(zfun, z0, max_iter, memory_size, max_linesearch_steps):
         rho = jnp.where(curv_ok, st.rho.at[slot].set(1.0 / jnp.maximum(sy, 1e-30)), st.rho)
         k = st.k + curv_ok.astype(jnp.int32)
         gamma = jnp.where(curv_ok, sy / jnp.maximum(jnp.dot(y, y), 1e-30), st.gamma)
-        return St(z=z_new, f=f_new, g=g_new, S=S, Y=Y, rho=rho, k=k, gamma=gamma), f_new
+        acc_st = St(
+            z=z_new, f=f_new, g=g_new, S=S, Y=Y, rho=rho, k=k, gamma=gamma,
+            p=jnp.zeros((d,), dtype), gTp=jnp.zeros((), dtype),
+            t=jnp.ones((), dtype), n_probe=jnp.zeros((), jnp.int32),
+            n_accept=st.n_accept + 1,
+        )
+        p_new = direction(acc_st)
+        acc_st = acc_st._replace(p=p_new, gTp=jnp.dot(g_new, p_new))
 
-    f0, g0 = vg(z0)
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(stop_probing, b, a), probe_st, acc_st
+        )
+
+    # the state machine's first trip evaluates z0 itself: p = 0 and
+    # f = +inf make the trial point z0 and force acceptance
     init = St(
-        z=z0, f=f0, g=g0,
+        z=z0, f=jnp.asarray(jnp.inf, dtype), g=jnp.zeros((d,), dtype),
         S=jnp.zeros((m, d), dtype), Y=jnp.zeros((m, d), dtype),
         rho=jnp.zeros((m,), dtype), k=jnp.asarray(0, jnp.int32),
         gamma=jnp.asarray(1.0, dtype),
+        p=jnp.zeros((d,), dtype), gTp=jnp.asarray(0.0, dtype),
+        t=jnp.ones((), dtype), n_probe=jnp.zeros((), jnp.int32),
+        n_accept=jnp.asarray(0, jnp.int32),
     )
-    out, _ = jax.lax.scan(step, init, None, length=max_iter)
+    out = jax.lax.while_loop(cond, body, init)
     return out.z, out.f
 
 

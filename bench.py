@@ -86,5 +86,93 @@ def main():
     }))
 
 
+def main_nuts():
+    """NUTS-fit wall-clock at bench shapes (VERDICT round-3 item 3): is the
+    north-star sampler usable at n=1000? Prints the same one-line JSON
+    (vs_baseline compares to the same CPU-reference MLE fit+argmax — the
+    reference has no sampler at all, so the MLE protocol is the only
+    baseline that exists)."""
+    import numpy as np
+
+    from bayesian_optimization_tpu.models import GaussianProcess, constant_trend
+    from bayesian_optimization_tpu.optim.argmax import AcquisitionArgmax
+    from bayesian_optimization_tpu.space import RealSpace
+
+    rng = np.random.default_rng(1)
+    X = rng.uniform(0, 1, (N_OBS, DIM))
+    y = np.sin(3 * X).sum(1) + 0.1 * rng.standard_normal(N_OBS)
+    y_std = (y - y.mean()) / y.std()
+
+    gp = GaussianProcess(
+        mean=constant_trend(DIM), corr="matern",
+        thetaL=1e-3 * np.ones(DIM), thetaU=1e3 * np.ones(DIM),
+        nugget=1e-6, random_state=0, optimizer="NUTS",
+    )
+    gp.hmc_warmup = 100
+    gp.n_ensemble = 8
+    space = RealSpace([[0.0, 1.0]] * DIM)
+    argmax = AcquisitionArgmax(space.encoding(), method="BFGS", n_restart=5 * DIM, seed=0)
+
+    def one_iter():
+        gp.fit(X, y_std)
+        return argmax(gp.posterior, gp.config, "EI", {"plugin": float(y_std.min())})
+
+    _mark("NUTS setup done; warm-up iteration (cold XLA compiles)")
+    one_iter()
+    _mark("warm-up done; measuring")
+    times = []
+    for _ in range(N_REPEATS):
+        t0 = time.perf_counter()
+        one_iter()
+        times.append(time.perf_counter() - t0)
+    value = float(np.median(times))
+    _mark(f"measured {[round(t, 3) for t in times]}")
+    print(json.dumps({
+        "metric": "nuts_gp_fit_plus_acq_argmax_per_iter_n1000_d5",
+        "value": round(value, 4),
+        "unit": "s",
+        "vs_baseline": round(REF_SECONDS / value, 2),
+    }))
+
+
+def main_fit_n(n_obs: int):
+    """GP-fit-only wall at arbitrary n (the n>1024 cliff measurement,
+    VERDICT round-3 item 6)."""
+    import numpy as np
+
+    from bayesian_optimization_tpu.models import GaussianProcess, constant_trend
+
+    rng = np.random.default_rng(1)
+    X = rng.uniform(0, 1, (n_obs, DIM))
+    y = np.sin(3 * X).sum(1) + 0.1 * rng.standard_normal(n_obs)
+    y_std = (y - y.mean()) / y.std()
+    gp = GaussianProcess(
+        mean=constant_trend(DIM), corr="matern",
+        thetaL=1e-3 * np.ones(DIM), thetaU=1e3 * np.ones(DIM),
+        nugget=1e-6, random_start=10, random_state=0,
+    )
+    _mark(f"fit-n setup done (n={n_obs}); warm-up fit")
+    gp.fit(X, y_std)
+    _mark("warm-up done; measuring")
+    times = []
+    for _ in range(N_REPEATS):
+        t0 = time.perf_counter()
+        gp.fit(X, y_std)
+        times.append(time.perf_counter() - t0)
+    value = float(np.median(times))
+    _mark(f"measured {[round(t, 3) for t in times]}")
+    print(json.dumps({
+        "metric": f"gp_fit_per_iter_n{n_obs}_d5",
+        "value": round(value, 4),
+        "unit": "s",
+        "vs_baseline": None,
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if "--nuts" in sys.argv:
+        main_nuts()
+    elif "--fit-n" in sys.argv:
+        main_fit_n(int(sys.argv[sys.argv.index("--fit-n") + 1]))
+    else:
+        main()
