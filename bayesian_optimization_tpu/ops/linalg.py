@@ -276,6 +276,16 @@ def tri_solve_upper_t(L: jnp.ndarray, Dinv: jnp.ndarray, B: jnp.ndarray) -> jnp.
     return jax.lax.fori_loop(0, nb, body, jnp.zeros_like(B))
 
 
+SUPER = 1024  # hybrid superpanel width == the largest VMEM-resident shape
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # noqa: BLE001 - backend probing must never fail hot paths
+        return False
+
+
 def _use_fused_whiten(n: int) -> bool:
     """The single-launch Pallas factor+solve runs on real TPU backends for
     the bucket sizes whose R + L fit VMEM (n <= 1024). Everything else
@@ -283,12 +293,59 @@ def _use_fused_whiten(n: int) -> bool:
     BOTPU_NO_FUSED_WHITEN=1 forces the XLA path (A/B benchmarking)."""
     if os.environ.get("BOTPU_NO_FUSED_WHITEN"):
         return False
-    try:
-        if jax.default_backend() != "tpu":
-            return False
-    except Exception:  # noqa: BLE001 - backend probing must never fail hot paths
+    return _on_tpu() and n % BLOCK == 0 and BLOCK <= n <= 1024
+
+
+def _use_hybrid_whiten(n: int) -> bool:
+    """Above the VMEM limit (n > 1024) the factorization goes hybrid:
+    superpanel GEMMs in XLA + one Pallas launch per 1024-wide diagonal
+    block (see _factor_hybrid). Same env/backend gates as the fused path."""
+    if os.environ.get("BOTPU_NO_FUSED_WHITEN"):
         return False
-    return n % BLOCK == 0 and BLOCK <= n <= 1024
+    return _on_tpu() and n > SUPER and n % SUPER == 0
+
+
+def _factor_hybrid(R: jnp.ndarray, super_block: int = SUPER, interpret: bool = False):
+    """Blocked Cholesky for n > 1024 killing the n>1024 performance cliff:
+    the pure-XLA panel loop dispatches ~n tiny sequential column ops per
+    eval (the exact chain the Pallas kernel was built to eliminate), while
+    everything VMEM-sized already has a one-launch kernel. So factor at
+    TWO levels: a Python loop over n/1024 superpanels whose Schur updates
+    and subdiagonal solves are full-size MXU GEMMs, and whose 1024-wide
+    diagonal blocks each factor in ONE whiten_fused launch. Sequential
+    depth falls from ~n chained ops to ~(n/1024)*12 chunky ones. Returns
+    (L, Dinv, min_pivot) in _factor's exact layout, so the blocked solves
+    and the whiten VJP work unchanged.
+
+    super_block/interpret are test hooks (CPU interpret mode at small n)."""
+    from .pallas_kernels import whiten_fused
+
+    n = R.shape[-1]
+    ns = n // super_block
+    dtype = R.dtype
+    L = jnp.zeros_like(R)
+    Dinvs = []
+    piv = jnp.asarray(jnp.inf, dtype)
+    dummy_B = jnp.zeros((super_block, 1), dtype)
+    with jax.default_matmul_precision("high"):
+        for k in range(ns):
+            kb = k * super_block
+            Lrow = L[kb:kb + super_block, :kb]
+            S = R[kb:kb + super_block, kb:kb + super_block]
+            if k > 0:
+                S = S - Lrow @ Lrow.T
+            _d, _W, pk, Lkk, Dk = whiten_fused(S, dummy_B, interpret=interpret)
+            piv = jnp.minimum(piv, pk)
+            Dinvs.append(Dk)
+            L = L.at[kb:kb + super_block, kb:kb + super_block].set(Lkk)
+            if kb + super_block < n:
+                C = R[kb + super_block:, kb:kb + super_block]
+                if k > 0:
+                    C = C - L[kb + super_block:, :kb] @ Lrow.T
+                # subdiagonal panel P = C L_kk^-T  <=>  P^T = L_kk^-1 C^T
+                Pt = tri_solve_lower(Lkk, Dk, C.T)
+                L = L.at[kb + super_block:, kb:kb + super_block].set(Pt.T)
+    return L, jnp.concatenate(Dinvs, axis=0), piv
 
 
 def _whiten_parts(R, B):
@@ -304,7 +361,10 @@ def _whiten_parts(R, B):
         d, W, piv, L, Dinv = whiten_fused(R, B)
         return (d, W, piv), (L, Dinv, W)
     with jax.default_matmul_precision("high"):
-        L, Dinv, piv = _factor(R)
+        if _use_hybrid_whiten(R.shape[-1]):
+            L, Dinv, piv = _factor_hybrid(R)
+        else:
+            L, Dinv, piv = _factor(R)
         W = tri_solve_lower(L, Dinv, B)
     return (jnp.diagonal(L), W, piv), (L, Dinv, W)
 
@@ -379,6 +439,11 @@ def chol_inv_whiten(R: jnp.ndarray, B: jnp.ndarray):
         from .pallas_kernels import whiten_fused
 
         _d, W, piv, L, Dinv = whiten_fused(R, B)
+        return L, _block_tri_inv(L, Dinv), W, piv
+    if _use_hybrid_whiten(R.shape[-1]):
+        L, Dinv, piv = _factor_hybrid(R)
+        with jax.default_matmul_precision("high"):
+            W = tri_solve_lower(L, Dinv, B)
         return L, _block_tri_inv(L, Dinv), W, piv
     L, L_inv, piv = chol_and_inv(R)
     W = jnp.dot(L_inv, B, precision=jax.lax.Precision.HIGHEST)

@@ -96,3 +96,31 @@ def test_min_pivot_flags_indefinite():
     assert float(piv) <= 0.0
     d, W, piv2 = whiten(jnp.asarray(R, jnp.float32), jnp.ones((n, 1), jnp.float32))
     assert float(piv2) <= 0.0
+
+
+def test_factor_hybrid_matches_numpy():
+    """The superpanel hybrid factorization (the n>1024 cliff fix) must
+    reproduce the Cholesky factor, the blocked Dinv layout, and the solve
+    exactly like _factor. Exercised at super_block=256 / n=512 in Pallas
+    interpret mode (the real path runs super_block=1024 on TPU)."""
+    from bayesian_optimization_tpu.ops.linalg import _factor_hybrid
+
+    n, sb = 512, 256
+    R = _spd(n, seed=3, cond="kernel")
+    L_ref = np.linalg.cholesky(np.asarray(R, np.float64))
+    L, Dinv, piv = _factor_hybrid(jnp.asarray(R), super_block=sb, interpret=True)
+    rel = np.abs(np.asarray(L, np.float64) - L_ref).max() / np.abs(L_ref).max()
+    assert rel < 1e-3, rel
+    assert float(piv) > 0.0
+    assert Dinv.shape == (n // 128, 128, 128)
+    # Dinv blocks really are the inverses of L's diagonal blocks
+    for k in range(n // 128):
+        blk = np.asarray(L)[k * 128:(k + 1) * 128, k * 128:(k + 1) * 128]
+        assert np.abs(np.asarray(Dinv[k]) @ blk - np.eye(128)).max() < 1e-3
+    # blocked solve built on the hybrid factor matches scipy
+    B = np.random.default_rng(0).standard_normal((n, 3)).astype(np.float32)
+    W = tri_solve_lower(L, Dinv, jnp.asarray(B))
+    import scipy.linalg as sla
+
+    W_ref = sla.solve_triangular(np.asarray(L, np.float64), B, lower=True)
+    assert np.abs(np.asarray(W, np.float64) - W_ref).max() < 1e-3
