@@ -545,7 +545,7 @@ class BaseBO(BaseOptimizer):
         X = [list(r) for r in self.encoding.decode_unit(np.asarray(candidates))]
         return (X, values) if return_value else X
 
-    def _argmax_one(self, acq_par: dict, fixed_units) -> Tuple[np.ndarray, float]:
+    def _argmax_one(self, acq_par: dict, fixed_units, x0_seed=None) -> Tuple[np.ndarray, float]:
         # the surrogate fits standardized raw fitness, so the criterion must
         # carry the problem's own min/max orientation
         name = self.acquisition_fun
@@ -559,6 +559,7 @@ class BaseBO(BaseOptimizer):
             acq_par,
             minimize=self.minimize,
             fixed=fixed_units,
+            x0_seed=x0_seed,
         )
 
     def _batch_arg_max_acquisition(self, n_point: int, fixed_units):

@@ -79,13 +79,21 @@ class LinearTransform:
 class PCABO(BO):
     """High-dimensional BO via supervised PCA (ref parity: extension.py:89-208)."""
 
-    def __init__(self, n_components: Union[float, int, None] = None, **kwargs):
+    def __init__(
+        self,
+        n_components: Union[float, int, None] = None,
+        incumbent_injection: bool = False,
+        theta_warm_start: bool = False,
+        **kwargs,
+    ):
         kwargs.pop("model", None)
         super().__init__(model=_DummyUnfitted(), **kwargs)
         if not isinstance(self._search_space, RealSpace):
             raise ValueError("PCABO requires a RealSpace")
         self._original_space = deepcopy(self._search_space)
         self._pca = LinearTransform(n_components=n_components, minimize=self.minimize)
+        self._incumbent_injection = bool(incumbent_injection)
+        self._theta_warm_start = bool(theta_warm_start)
 
     @staticmethod
     def _compute_bounds(pca: LinearTransform, space: RealSpace) -> List[List[float]]:
@@ -162,6 +170,22 @@ class PCABO(BO):
         self._update_model_reduced(X_red, self.data.fitness[:, 0])
         self.hist_f.append(self.xopt.fitness.ravel().copy())
 
+    def _incumbent_seed(self) -> Optional[np.ndarray]:
+        """Incumbent best, projected into the CURRENT reduced space and
+        encoded to the unit cube — injected into the argmax restart pool so
+        every iteration can exploit the best-known basin even though the
+        reduced space (and GP) are rebuilt from scratch. Counters the
+        early-phase compounding identified in the round-3 config-5 loss."""
+        if not self._incumbent_injection or self.data is None or not len(self.data):
+            return None
+        fit = self.data.fitness[:, 0]
+        i = int(np.argmin(fit) if self.minimize else np.argmax(fit))
+        x = np.asarray(self.data.values[i], dtype=float).reshape(1, -1)
+        z = self._pca.transform(x)
+        u = self.encoding.encode_unit(np.asarray(z, dtype=object))
+        u = np.clip(np.asarray(u, dtype=float), 0.0, 1.0)
+        return u
+
     def _update_model_reduced(self, X_red: np.ndarray, y: np.ndarray):
         k = X_red.shape[1]
         # theta bounds must track the REDUCED-box width: the GP fits on the
@@ -185,6 +209,13 @@ class PCABO(BO):
         # already in unit convention (w^3 window above): must not be
         # rescaled again if it ever passes through BaseBO adoption
         self.model._theta_bounds_unit_scaled = True
+        # warm-start theta across the per-iteration GP rebuilds: the reduced
+        # box width (2x the original-box radius) is iteration-invariant, so
+        # the previous MLE optimum transfers; it seeds restart 0 of the new
+        # ladder (models/gp.py warm-start path) while the rest stay random
+        prev = getattr(self, "_prev_theta", None) if self._theta_warm_start else None
+        if prev is not None and len(prev) == k:
+            self.model.theta_ = np.asarray(prev, dtype=float)
         std = np.std(y)
         y_ = y if np.isclose(std, 0) else (y - np.mean(y)) / std
         self._fitness_mean = float(np.mean(y)) if not np.isclose(std, 0) else 0.0
@@ -195,6 +226,7 @@ class PCABO(BO):
         U = self.encoding.encode_unit(np.asarray(X_red, dtype=object))
         E = self.encoding.unit_to_embed_np(U)
         self.model.fit(E, y_.reshape(-1, 1))
+        self._prev_theta = np.asarray(self.model.theta_, dtype=float).copy()
 
     def _acq_par_defaults(self, par: dict) -> dict:
         out = super()._acq_par_defaults(par)
@@ -216,14 +248,17 @@ class PCABO(BO):
         argmaxes (independent restart pools of the same criterion) run as
         ONE jitted batch program, like ParallelBO's q-criteria path."""
         n_point = self.n_point if n_point is None else int(n_point)
+        seed = self._incumbent_seed()
         if n_point == 1:
-            u, v = self._argmax_one(self._acq_par_defaults(self._acquisition_par), None)
+            u, v = self._argmax_one(
+                self._acq_par_defaults(self._acquisition_par), None, x0_seed=seed
+            )
             us, vals = [u], [v]
         else:
             pars = [self._acq_par_defaults(dict(self._acquisition_par)) for _ in range(n_point)]
             us, vals = self._argmax.batch(
                 self.model.posterior, self.model.config, self.acquisition_fun,
-                pars, minimize=self.minimize, fixed=None,
+                pars, minimize=self.minimize, fixed=None, x0_seed=seed,
             )
         out = []
         for u in us:

@@ -274,6 +274,11 @@ def whiten_fused(R, B, interpret: bool = False):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         input_output_aliases={0: 0, 1: 1},
+        # the default 16 MB scoped-VMEM cap is 0.5 MB short when this kernel
+        # runs batched under vmap (the hybrid factorization's superpanels
+        # inside the multi-restart MLE ladder, e.g. 6 restarts x n=2048);
+        # v5e VMEM is far larger, so raise the cap rather than shrink tiles
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(R, Bp)
     nb = n // TILE

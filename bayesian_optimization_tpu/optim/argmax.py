@@ -386,8 +386,13 @@ class AcquisitionArgmax:
         acq_params: Dict,
         minimize: bool = True,
         fixed: Optional[Dict[int, float]] = None,
+        x0_seed: Optional[np.ndarray] = None,
     ) -> Tuple[np.ndarray, float]:
-        """Returns (u_best[dim] on the unit cube, criterion value)."""
+        """Returns (u_best[dim] on the unit cube, criterion value).
+
+        x0_seed: optional (s, dim) unit-cube points injected into the
+        restart/chain pool (e.g. PCABO's incumbent projected into the
+        current reduced space) — the rest of the pool stays random."""
         dim = self.encoding.dim
         dtype = self.encoding.dtype
         fixed_mask = jnp.zeros(dim, dtype)
@@ -408,6 +413,13 @@ class AcquisitionArgmax:
             for k, v in acq_params.items()
         }
 
+        def seed_pool(x0):
+            if x0_seed is None:
+                return x0
+            seeds = jnp.asarray(np.atleast_2d(np.asarray(x0_seed, float)), dtype)
+            s = min(seeds.shape[0], x0.shape[0])
+            return x0.at[:s].set(seeds[:s])
+
         def shard(x0):
             if self.mesh is None:
                 return x0
@@ -425,7 +437,7 @@ class AcquisitionArgmax:
 
         key = self._next_key()
         if self.method == "BFGS":
-            x0 = shard(jax.random.uniform(key, (self.n_restart, dim), dtype))
+            x0 = shard(seed_pool(jax.random.uniform(key, (self.n_restart, dim), dtype)))
             u, val = _bfgs_argmax(
                 key, state, config, self.encoding, acq_name, params, minimize,
                 x0, fixed_mask, fixed_vals, self.max_iter,
@@ -437,13 +449,13 @@ class AcquisitionArgmax:
                 self.n_mies_restarts, self.n_mies_generations,
             )
         elif self.method == "SMC":
-            x0 = shard(jax.random.uniform(key, (self.n_chains, dim), dtype))
+            x0 = shard(seed_pool(jax.random.uniform(key, (self.n_chains, dim), dtype)))
             u, val = _smc_argmax(
                 key, state, config, self.encoding, acq_name, params, minimize,
                 x0, fixed_mask, fixed_vals, self.n_smc_rounds, self.n_smc_moves,
             )
         else:
-            x0 = shard(jax.random.uniform(key, (self.n_chains, dim), dtype))
+            x0 = shard(seed_pool(jax.random.uniform(key, (self.n_chains, dim), dtype)))
             u, val = _cma_argmax(
                 key, state, config, self.encoding, acq_name, params, minimize,
                 x0, fixed_mask, fixed_vals, self.n_generations,
@@ -459,9 +471,11 @@ class AcquisitionArgmax:
         acq_params_list,
         minimize: bool = True,
         fixed: Optional[Dict[int, float]] = None,
+        x0_seed: Optional[np.ndarray] = None,
     ):
         """q criteria (same acquisition, different parameters) maximized in
-        ONE jitted program. Returns (list of unit vectors, list of values)."""
+        ONE jitted program. Returns (list of unit vectors, list of values).
+        x0_seed rows are injected at the head of EVERY criterion's pool."""
         dim = self.encoding.dim
         dtype = self.encoding.dtype
         q = len(acq_params_list)
@@ -494,20 +508,27 @@ class AcquisitionArgmax:
 
         params_batch = {k: stack_key(k) for k in keys_set}
         key = self._next_key()
+        def seed_pool(x0):
+            if x0_seed is None:
+                return x0
+            seeds = jnp.asarray(np.atleast_2d(np.asarray(x0_seed, float)), dtype)
+            n = min(seeds.shape[0], x0.shape[1])
+            return x0.at[:, :n, :].set(seeds[None, :n, :])
+
         if self.method == "BFGS":
-            x0 = jax.random.uniform(key, (q, self.n_restart, dim), dtype)
+            x0 = seed_pool(jax.random.uniform(key, (q, self.n_restart, dim), dtype))
             us, vals = _bfgs_argmax_batch(
                 key, state, config, self.encoding, acq_name, params_batch, minimize,
                 x0, fixed_mask, fixed_vals, self.max_iter,
             )
         elif self.method == "SMC":
-            x0 = jax.random.uniform(key, (q, self.n_chains, dim), dtype)
+            x0 = seed_pool(jax.random.uniform(key, (q, self.n_chains, dim), dtype))
             us, vals = _smc_argmax_batch(
                 key, state, config, self.encoding, acq_name, params_batch, minimize,
                 x0, fixed_mask, fixed_vals, self.n_smc_rounds, self.n_smc_moves,
             )
         else:
-            x0 = jax.random.uniform(key, (q, self.n_chains, dim), dtype)
+            x0 = seed_pool(jax.random.uniform(key, (q, self.n_chains, dim), dtype))
             us, vals = _cma_argmax_batch(
                 key, state, config, self.encoding, acq_name, params_batch, minimize,
                 x0, fixed_mask, fixed_vals, self.n_generations,
