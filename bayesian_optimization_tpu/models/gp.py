@@ -124,6 +124,20 @@ def _ladder_kernel(x0_batch, lo, hi, stages, noise_var, beta0, config, plan, max
     return res.x_best, res.fun_best, state
 
 
+@partial(jax.jit, static_argnames=("config",))
+def _probe_kernel(x0_batch, lo, hi, X, Y, F, mask, n, noise_var, beta0, config):
+    """Batched likelihood probe at the restart points on the FULL data —
+    one vmapped eval (~0.1 s at n=4096) that tells whether every start
+    sits in the 1e12 penalty region (non-finite / clamped factorization).
+    When they all do, the MLE ladder would burn its whole budget idling on
+    the zero-gradient plateau (~12 s at n=4000) before the nugget
+    escalation fires; the probe lets fit() escalate immediately instead."""
+    nll = lambda p: neg_log_likelihood(
+        p, X, Y, F, mask, n, noise_var, beta0, config, prior_lo=lo, prior_hi=hi
+    )
+    return jax.vmap(nll)(x0_batch)
+
+
 @partial(jax.jit, static_argnames=("config", "n_ensemble", "n_warmup", "sampler"))
 def _fit_kernel_hmc(key, x0_batch, lo, hi, X, Y, F, mask, n, noise_var, beta0, config, n_ensemble, n_warmup, sampler="hmc"):
     """Posterior over hyperparameters by vectorized adaptive HMC or NUTS
@@ -453,6 +467,32 @@ class GaussianProcess:
                     beta0, config, 4 * self.max_iter,
                 )
             else:
+                # cheap all-dead probe: if EVERY start lands in the 1e12
+                # penalty (common at large n with a tiny nugget, where the
+                # f32 factorization is non-finite over most of theta space),
+                # skip the ladder and escalate the nugget right away
+                lo_b = jnp.asarray(bounds[:, 0], self.dtype)
+                hi_b = jnp.asarray(bounds[:, 1], self.dtype)
+                probe = _probe_kernel(
+                    jnp.asarray(starts, self.dtype), lo_b, hi_b,
+                    Xj, Yj, Fj, maskj, jnp.asarray(float(n), self.dtype),
+                    jnp.asarray(float(noise_var), self.dtype), beta0, config,
+                )
+                if attempt < 5 and bool(np.all(np.asarray(probe) >= 1e11)):
+                    # (on the final attempt the ladder runs regardless so a
+                    # state/par always exists for the caller)
+                    if self.estimation_mode == "noiseless":
+                        self.estimation_mode = "noisy"
+                        noise_var = 1e-5
+                        config = self._config(dim)
+                        bounds = self._hyper_bounds(dim, y)
+                        n_par = n_hyper_params(dim, config)
+                        starts = self._rng.uniform(
+                            bounds[:, 0], bounds[:, 1], size=(R, n_par)
+                        )
+                    else:
+                        noise_var = max(noise_var, 1e-8) * 10.0
+                    continue
                 # Multi-fidelity MLE: a successive-halving ladder over data
                 # subsets replaces the reference's flat multi-restart budget
                 # (gpr.py:1058-1197). Each halving of the subset makes the

@@ -113,6 +113,12 @@ def _lbfgs_compact(zfun, z0, max_iter, memory_size, max_linesearch_steps):
     def body(st: St):
         z_trial = jnp.clip(st.z + st.t * st.p, -_Z_CLIP, _Z_CLIP)
         f_t, g_t = vg(z_trial)  # the ONE objective instantiation
+        # a non-finite gradient (the objective's penalty plateau, e.g. the
+        # GP likelihood's 1e12 region) must not poison the direction or the
+        # curvature history: zero it — the chain then idles in place
+        # instead of stepping to NaN (a finite f at a NaN iterate would
+        # otherwise be ACCEPTED, and x_best comes out NaN)
+        g_t = jnp.where(jnp.isfinite(g_t), g_t, 0.0)
         armijo = f_t <= st.f + c1 * st.t * st.gTp
         exhausted = st.n_probe >= max_linesearch_steps
         stop_probing = armijo | exhausted
@@ -121,7 +127,7 @@ def _lbfgs_compact(zfun, z0, max_iter, memory_size, max_linesearch_steps):
         probe_st = st._replace(t=0.5 * st.t, n_probe=st.n_probe + 1)
 
         # -------- step concludes: accept if finite and improving --------
-        good = jnp.isfinite(f_t) & (f_t <= st.f)
+        good = jnp.isfinite(f_t) & (f_t <= st.f) & jnp.all(jnp.isfinite(z_trial))
         z_new = jnp.where(good, z_trial, st.z)
         f_new = jnp.where(good, f_t, st.f)
         g_new = jnp.where(good, g_t, st.g)

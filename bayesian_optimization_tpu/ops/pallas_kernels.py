@@ -15,6 +15,7 @@ n >= 128) and falls back to the XLA path otherwise via `kernel_matrix`.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -176,15 +177,20 @@ def _chol128_inkernel(S, dtype):
 
 
 def _whiten_fused_kernel(R_ref, B_ref, L_ref, W_ref, piv_ref, Dinv_ref):
-    """In-place fused factor+solve: the L output ALIASES the R input
-    (columns are overwritten left-to-right, and panel k only ever reads
-    columns >= kb of the original R — still intact — plus already-written
-    L columns < kb), W aliases B; pallas passes both refs of an aliased
-    pair, so R_ref IS L_ref and B_ref IS W_ref (the in-refs are unused).
-    Aliasing halves the two big VMEM buffers; all cross-panel products
+    """Fused factor+solve working in-place on L/W after an initial VMEM
+    copy from R/B (columns are overwritten left-to-right, and panel k only
+    ever reads columns >= kb of the original R — still intact — plus
+    already-written L columns < kb). The copy replaced
+    `input_output_aliases`: donating the input buffers mis-executed on the
+    real TPU whenever the input's ONLY consumer was this kernel (the
+    hybrid factorization's Schur panels at n > 1024 came back NaN; any
+    second consumer of S made the same program correct — an XLA donation
+    hazard, not a kernel bug). Separate buffers cost ~4.5 MB more VMEM at
+    n = 1024, within the raised 64 MB cap below. All cross-panel products
     accumulate per 128-wide panel so no (n, n) value or mask is ever
-    materialized (VMEM budget ~8 MB at n = 1024)."""
-    del R_ref, B_ref  # aliased with L_ref / W_ref
+    materialized."""
+    L_ref[:] = R_ref[:]
+    W_ref[:] = B_ref[:]
     n = L_ref.shape[0]
     nb = n // TILE
     dtype = L_ref.dtype
@@ -258,8 +264,8 @@ def whiten_fused(R, B, interpret: bool = False):
     L, W, piv, Dinv = pl.pallas_call(
         _whiten_fused_kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((n, n), R.dtype),        # L, aliases R
-            jax.ShapeDtypeStruct((n, mb_pad), R.dtype),   # W, aliases B
+            jax.ShapeDtypeStruct((n, n), R.dtype),        # L (copied from R)
+            jax.ShapeDtypeStruct((n, mb_pad), R.dtype),   # W (copied from B)
             jax.ShapeDtypeStruct((1, 1), R.dtype),
             jax.ShapeDtypeStruct((n, TILE), R.dtype),
         ),
@@ -273,12 +279,15 @@ def whiten_fused(R, B, interpret: bool = False):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
-        input_output_aliases={0: 0, 1: 1},
         # the default 16 MB scoped-VMEM cap is 0.5 MB short when this kernel
         # runs batched under vmap (the hybrid factorization's superpanels
         # inside the multi-restart MLE ladder, e.g. 6 restarts x n=2048);
         # v5e VMEM is far larger, so raise the cap rather than shrink tiles
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(
+                os.environ.get("BOTPU_WF_VMEM_BYTES", 64 * 1024 * 1024)
+            )
+        ),
         interpret=interpret,
     )(R, Bp)
     nb = n // TILE
