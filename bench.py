@@ -108,7 +108,11 @@ def main_nuts():
         thetaL=1e-3 * np.ones(DIM), thetaU=1e3 * np.ones(DIM),
         nugget=1e-6, random_state=0, optimizer="NUTS",
     )
-    gp.hmc_warmup = 100
+    # 64, not 100: on the remote-tunnel TPU backend the NUTS program with a
+    # 100-trip warmup fori_loop deterministically crashes the TPU worker at
+    # compile time (bisected round 4: 64 compiles and runs, 100 crashes —
+    # backend issue, not a sampler property)
+    gp.hmc_warmup = 64
     gp.n_ensemble = 8
     space = RealSpace([[0.0, 1.0]] * DIM)
     argmax = AcquisitionArgmax(space.encoding(), method="BFGS", n_restart=5 * DIM, seed=0)
