@@ -180,11 +180,11 @@ class MOBO(BaseMOBO):
 
         return {"cell_lower": jnp.asarray(lo), "cell_upper": jnp.asarray(hi)}
 
-    def _argmax_one(self, acq_par: dict, fixed_units):
+    def _argmax_one(self, acq_par: dict, fixed_units, x0_seed=None):
         # model outputs are already maximization-oriented; no sign flip
         return self._argmax(
             self.model.posterior, self.model.config, "EHVI", acq_par,
-            minimize=True, fixed=fixed_units,
+            minimize=True, fixed=fixed_units, x0_seed=x0_seed,
         )
 
     def _batch_arg_max_acquisition(self, n_point: int, fixed_units):

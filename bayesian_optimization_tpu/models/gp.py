@@ -355,6 +355,22 @@ class GaussianProcess:
             rows.append(np.log10(np.atleast_2d([1e-10, 1.0 - 1e-10])))
         return np.concatenate(rows, axis=0)
 
+    def _escalate_nugget(self, dim, y, noise_var, config, bounds, starts, R):
+        """Degenerate-likelihood escalation (ref parity: gpr.py:384-399):
+        a noiseless fit becomes noisy with a 1e-5 floor (new hyperparameter
+        => fresh config/bounds/starts); an already-noisy fit bumps the
+        noise x10. Shared by the all-dead probe and the post-fit ok check."""
+        if self.estimation_mode == "noiseless":
+            self.estimation_mode = "noisy"
+            noise_var = 1e-5
+            config = self._config(dim)
+            bounds = self._hyper_bounds(dim, y)
+            n_par = n_hyper_params(dim, config)
+            starts = self._rng.uniform(bounds[:, 0], bounds[:, 1], size=(R, n_par))
+        else:
+            noise_var = max(noise_var, 1e-8) * 10.0
+        return noise_var, config, bounds, starts
+
     def fit(self, X, y) -> "GaussianProcess":
         from .. import _ensure_cache_safe_for_backend
 
@@ -468,31 +484,35 @@ class GaussianProcess:
                 )
             else:
                 # cheap all-dead probe: if EVERY start lands in the 1e12
-                # penalty (common at large n with a tiny nugget, where the
-                # f32 factorization is non-finite over most of theta space),
-                # skip the ladder and escalate the nugget right away
-                lo_b = jnp.asarray(bounds[:, 0], self.dtype)
-                hi_b = jnp.asarray(bounds[:, 1], self.dtype)
-                probe = _probe_kernel(
-                    jnp.asarray(starts, self.dtype), lo_b, hi_b,
-                    Xj, Yj, Fj, maskj, jnp.asarray(float(n), self.dtype),
-                    jnp.asarray(float(noise_var), self.dtype), beta0, config,
-                )
-                if attempt < 5 and bool(np.all(np.asarray(probe) >= 1e11)):
-                    # (on the final attempt the ladder runs regardless so a
-                    # state/par always exists for the caller)
-                    if self.estimation_mode == "noiseless":
-                        self.estimation_mode = "noisy"
-                        noise_var = 1e-5
-                        config = self._config(dim)
-                        bounds = self._hyper_bounds(dim, y)
-                        n_par = n_hyper_params(dim, config)
-                        starts = self._rng.uniform(
-                            bounds[:, 0], bounds[:, 1], size=(R, n_par)
+                # penalty (the f32 factorization is non-finite over most of
+                # theta space — seen at n >= ~2k with a tiny nugget), skip
+                # the ~12 s ladder and escalate the nugget right away.
+                # Gated to (a) the big buckets, where the plateau problem
+                # exists and the ladder is expensive (small fits should not
+                # pay an extra executable per shape on the load-bound
+                # remote tunnel); (b) already-noisy modes, where escalation
+                # only bumps a hyperparameter — a noiseless fit keeps its
+                # old behavior (run the ladder; its subset rungs may guide
+                # a start into the feasible basin) so the probe can never
+                # flip the model class on full-data-only evidence;
+                # (c) attempt < 5, so a state/par always exists at the end.
+                if (
+                    attempt < 5
+                    and n_pad > 1024
+                    and self.estimation_mode != "noiseless"
+                ):
+                    probe = _probe_kernel(
+                        jnp.asarray(starts, self.dtype),
+                        jnp.asarray(bounds[:, 0], self.dtype),
+                        jnp.asarray(bounds[:, 1], self.dtype),
+                        Xj, Yj, Fj, maskj, jnp.asarray(float(n), self.dtype),
+                        jnp.asarray(float(noise_var), self.dtype), beta0, config,
+                    )
+                    if bool(np.all(np.asarray(probe) >= 1e11)):
+                        noise_var, config, bounds, starts = self._escalate_nugget(
+                            dim, y, noise_var, config, bounds, starts, R
                         )
-                    else:
-                        noise_var = max(noise_var, 1e-8) * 10.0
-                    continue
+                        continue
                 # Multi-fidelity MLE: a successive-halving ladder over data
                 # subsets replaces the reference's flat multi-restart budget
                 # (gpr.py:1058-1197). Each halving of the subset makes the
@@ -539,16 +559,9 @@ class GaussianProcess:
             )
             if ok:
                 break
-            # degenerate likelihood: escalate the nugget (ref parity: gpr.py:384-399)
-            if self.estimation_mode == "noiseless":
-                self.estimation_mode = "noisy"
-                noise_var = 1e-5
-                config = self._config(dim)
-                bounds = self._hyper_bounds(dim, y)
-                n_par = n_hyper_params(dim, config)
-                starts = self._rng.uniform(bounds[:, 0], bounds[:, 1], size=(R, n_par))
-            else:
-                noise_var = max(noise_var, 1e-8) * 10.0
+            noise_var, config, bounds, starts = self._escalate_nugget(
+                dim, y, noise_var, config, bounds, starts, R
+            )
         self.noise_var = noise_var
 
         self._state = state

@@ -43,6 +43,20 @@ from .cma import run_cma
 from .mies import MIESSpec, run_mies
 
 
+
+def _inject_seeds(x0, x0_seed, dtype):
+    """Overwrite the head of a restart/chain pool (last-two dims (P, dim),
+    optionally with a leading q axis) with caller-supplied unit-cube seed
+    rows; the rest of the pool stays random."""
+    if x0_seed is None:
+        return x0
+    seeds = jnp.asarray(np.atleast_2d(np.asarray(x0_seed, float)), dtype)
+    s = min(seeds.shape[0], x0.shape[-2])
+    if x0.ndim == 3:
+        return x0.at[:, :s, :].set(seeds[None, :s, :])
+    return x0.at[:s].set(seeds[:s])
+
+
 def make_unit_criterion(
     encoding,
     state: PosteriorState,
@@ -414,11 +428,7 @@ class AcquisitionArgmax:
         }
 
         def seed_pool(x0):
-            if x0_seed is None:
-                return x0
-            seeds = jnp.asarray(np.atleast_2d(np.asarray(x0_seed, float)), dtype)
-            s = min(seeds.shape[0], x0.shape[0])
-            return x0.at[:s].set(seeds[:s])
+            return _inject_seeds(x0, x0_seed, dtype)
 
         def shard(x0):
             if self.mesh is None:
@@ -509,11 +519,7 @@ class AcquisitionArgmax:
         params_batch = {k: stack_key(k) for k in keys_set}
         key = self._next_key()
         def seed_pool(x0):
-            if x0_seed is None:
-                return x0
-            seeds = jnp.asarray(np.atleast_2d(np.asarray(x0_seed, float)), dtype)
-            n = min(seeds.shape[0], x0.shape[1])
-            return x0.at[:, :n, :].set(seeds[None, :n, :])
+            return _inject_seeds(x0, x0_seed, dtype)
 
         if self.method == "BFGS":
             x0 = seed_pool(jax.random.uniform(key, (q, self.n_restart, dim), dtype))

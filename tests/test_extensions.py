@@ -138,3 +138,46 @@ def test_pcabo_q_gt_1_batched():
     assert opt.eval_count >= 20
     V = np.asarray(opt.data.values, dtype=float)
     assert V.min() >= -5 - 1e-6 and V.max() <= 5 + 1e-6
+
+
+def test_pcabo_flags_incumbent_and_warm_start():
+    """The opt-in round-4 knobs must run end-to-end: incumbent injection
+    exercises _incumbent_seed + the argmax x0_seed plumbing, theta
+    warm-start exercises the cross-rebuild theta_ handoff."""
+    import numpy as np
+
+    from bayesian_optimization_tpu import RealSpace
+    from bayesian_optimization_tpu.core.extensions import PCABO
+
+    def elli(x):
+        x = np.asarray(x, dtype=float)
+        return float(np.sum(10 ** np.linspace(0, 2, len(x)) * x**2))
+
+    space = RealSpace([[-5.0, 5.0]] * 8, random_seed=0)
+    opt = PCABO(
+        search_space=space, obj_fun=elli, n_components=3,
+        DoE_size=8, max_FEs=16, random_seed=0,
+        incumbent_injection=True, theta_warm_start=True,
+    )
+    opt.run()
+    assert opt.eval_count == 16
+    # the incumbent seed is a valid unit-cube row of the reduced dim
+    seed = opt._incumbent_seed()
+    assert seed is not None and seed.shape[1] == opt.encoding.dim
+    assert np.all(seed >= 0.0) and np.all(seed <= 1.0)
+    # theta carried across the per-iteration rebuilds
+    assert hasattr(opt, "_prev_theta") and len(opt._prev_theta) == opt.encoding.dim
+    assert np.isfinite(float(np.ravel(opt.xopt.fitness)[0]))
+
+
+def test_pcabo_flags_off_no_seed():
+    import numpy as np
+
+    from bayesian_optimization_tpu import RealSpace
+    from bayesian_optimization_tpu.core.extensions import PCABO
+
+    space = RealSpace([[-5.0, 5.0]] * 6, random_seed=0)
+    opt = PCABO(search_space=space, obj_fun=lambda x: float(np.sum(np.asarray(x) ** 2)),
+                n_components=2, DoE_size=6, max_FEs=9, random_seed=0)
+    opt.run()
+    assert opt._incumbent_seed() is None  # defaults off

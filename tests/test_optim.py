@@ -111,3 +111,42 @@ def test_mies_stops_on_max_eval():
     opt = MIES(space, obj, max_eval=200, n_restarts=2, random_seed=1)
     opt.optimize()
     assert opt.eval_count <= 200 + 2 * 10 * 2  # one generation of slack
+
+
+def test_argmax_x0_seed_injection():
+    """A seed row at the criterion's known optimum must never be beaten by
+    the random pool (the injected restart converges from the optimum)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bayesian_optimization_tpu import RealSpace
+    from bayesian_optimization_tpu.optim.argmax import AcquisitionArgmax, _inject_seeds
+
+    # direct helper semantics: single pool and q-batched pool
+    x0 = jnp.zeros((5, 3))
+    seeded = _inject_seeds(x0, np.full((2, 3), 0.5), jnp.float32)
+    assert np.allclose(np.asarray(seeded[:2]), 0.5)
+    assert np.allclose(np.asarray(seeded[2:]), 0.0)
+    x0q = jnp.zeros((4, 5, 3))
+    seededq = _inject_seeds(x0q, np.full((1, 3), 0.25), jnp.float32)
+    assert np.allclose(np.asarray(seededq[:, 0]), 0.25)
+    assert np.allclose(np.asarray(seededq[:, 1:]), 0.0)
+
+    # end-to-end: GP fit around an optimum at u*=0.7; seeding there must
+    # give at least the unseeded criterion value
+    from bayesian_optimization_tpu.models import GaussianProcess, constant_trend
+
+    rng = np.random.default_rng(0)
+    X = rng.uniform(0, 1, (40, 2))
+    y = ((X - 0.7) ** 2).sum(1)
+    gp = GaussianProcess(mean=constant_trend(2), thetaL=1e-2 * np.ones(2),
+                         thetaU=1e2 * np.ones(2), nugget=1e-6, random_state=0)
+    gp.fit(X, (y - y.mean()) / y.std())
+    enc = RealSpace([[0.0, 1.0]] * 2).encoding()
+    am = AcquisitionArgmax(enc, method="BFGS", n_restart=4, seed=0)
+    u1, v1 = am(gp.posterior, gp.config, "EI", {"plugin": float(y.min())})
+    am2 = AcquisitionArgmax(enc, method="BFGS", n_restart=4, seed=0)
+    u2, v2 = am2(gp.posterior, gp.config, "EI", {"plugin": float(y.min())},
+                 x0_seed=np.asarray([[0.7, 0.7]]))
+    assert v2 >= v1 - 1e-6, (v1, v2)
