@@ -426,9 +426,11 @@ class GaussianProcess:
         mask = np.zeros(n_pad)
         mask[:n] = 1.0
 
-        Xj = jnp.asarray(Xp, self.dtype)
-        Yj = jnp.asarray(Yp, self.dtype)
-        maskj = jnp.asarray(mask, self.dtype)
+        # ONE batched host->device transfer for the padded data (each
+        # separate jnp.asarray is its own RPC on the remote-TPU tunnel)
+        Xj, Yj, maskj = jax.device_put(
+            (Xp.astype(self.dtype), Yp.astype(self.dtype), mask.astype(self.dtype))
+        )
         Fj = self._trend_F(Xj) * maskj[:, None]
         # beta0 is only consumed when the trend is NOT estimated; keep its
         # shape fixed at (n_basis, m) across fits so refits reuse the
@@ -547,17 +549,26 @@ class GaussianProcess:
                 hi_b = jnp.asarray(bounds[:, 1], self.dtype)
                 nv_j = jnp.asarray(float(noise_var), self.dtype)
 
+                # rung subsets ship in ONE batched device_put; the per-size
+                # constants (all-ones mask, count scalar) are cached across
+                # refits, so a warm fit's rung uploads are one RPC batch
+                idxs = [self._rng.choice(n, size=ns, replace=False) for ns, _, _ in rungs]
+                subsets = jax.device_put(tuple(
+                    (Xp[idx].astype(self.dtype), Yp[idx].astype(self.dtype))
+                    for idx in idxs
+                ))
+                if not hasattr(self, "_const_cache"):
+                    self._const_cache = {}
                 stages = []
                 plan = []
-                for ns, n_in, iters in rungs:
-                    idx = self._rng.choice(n, size=ns, replace=False)
-                    Xs = jnp.asarray(Xp[idx], self.dtype)
-                    Ys = jnp.asarray(Yp[idx], self.dtype)
-                    stages.append((
-                        Xs, Ys, self._trend_F(Xs),
-                        jnp.ones(ns, self.dtype),
-                        jnp.asarray(float(ns), self.dtype),
-                    ))
+                for (Xs, Ys), (ns, n_in, iters) in zip(subsets, rungs):
+                    if ns not in self._const_cache:
+                        self._const_cache[ns] = (
+                            jnp.ones(ns, self.dtype),
+                            jnp.asarray(float(ns), self.dtype),
+                        )
+                    ones_ns, ns_j = self._const_cache[ns]
+                    stages.append((Xs, Ys, self._trend_F(Xs), ones_ns, ns_j))
                     plan.append((n_in, iters))
                 stages.append((Xj, Yj, Fj, maskj, jnp.asarray(float(n), self.dtype)))
                 plan.append((n_final, iters_b))
