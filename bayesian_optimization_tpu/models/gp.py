@@ -462,6 +462,19 @@ class GaussianProcess:
         elif self.theta0 is not None:
             t0 = np.repeat(self.theta0, dim) if len(self.theta0) == 1 else self.theta0
             starts[0, :dim] = np.log10(np.clip(t0, self.thetaL, self.thetaU))
+        if R > 1:
+            # second start: the anisotropic median heuristic — theta_d such
+            # that the median total weighted squared distance is ~1, i.e.
+            # theta_d = 1 / (dim * median_pairs (x_d - x'_d)^2). Lands a
+            # restart in the length-scale regime of the DATA regardless of
+            # how wide the user's log-uniform window is (at wide windows and
+            # large n, random starts often sit entirely in flat/degenerate
+            # basins and the MLE pins theta at a bound).
+            sub = X[self._rng.choice(n, size=min(n, 256), replace=False)]
+            d2 = (sub[:, None, :] - sub[None, :, :]) ** 2  # (s, s, dim)
+            med = np.median(d2[np.triu_indices(len(sub), k=1)], axis=0)
+            theta_med = 1.0 / np.maximum(dim * med, 1e-30)
+            starts[1, :dim] = np.log10(np.clip(theta_med, self.thetaL, self.thetaU))
 
         noise_var = self.noise_var if self.estimation_mode == "noisy" else 0.0
         for attempt in range(6):
