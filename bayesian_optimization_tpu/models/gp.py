@@ -159,6 +159,17 @@ def _probe_kernel(x0_batch, lo, hi, X, Y, F, mask, n, noise_var, beta0, config):
     return jax.vmap(nll)(x0_batch)
 
 
+def _ensemble_posterior(pars, logp, X, Y, F, mask, n, noise_var, beta0, config):
+    """Stack per-sample point posteriors for an (S, d) hyperparameter
+    ensemble and return (mean nll, stacked states) — shared tail of the
+    HMC/NUTS and VI fit kernels."""
+    point_cfg = config._replace(n_ensemble=0)
+    states = jax.vmap(
+        lambda p: posterior_state(p, X, Y, F, mask, n, noise_var, beta0, point_cfg)
+    )(pars)
+    return -jnp.mean(jax.vmap(logp)(pars)), states
+
+
 @partial(jax.jit, static_argnames=("config", "n_ensemble", "n_warmup", "sampler"))
 def _fit_kernel_hmc(key, x0_batch, lo, hi, X, Y, F, mask, n, noise_var, beta0, config, n_ensemble, n_warmup, sampler="hmc"):
     """Posterior over hyperparameters by vectorized adaptive HMC or NUTS
@@ -182,12 +193,8 @@ def _fit_kernel_hmc(key, x0_batch, lo, hi, X, Y, F, mask, n, noise_var, beta0, c
             n_warmup=n_warmup, n_samples=per_chain, n_leapfrog=12, thin=2,
         )
     pars = res.samples.reshape(-1, x0_batch.shape[1])[:n_ensemble]  # (S, d)
-    point_cfg = config._replace(n_ensemble=0)
-    states = jax.vmap(
-        lambda p: posterior_state(p, X, Y, F, mask, n, noise_var, beta0, point_cfg)
-    )(pars)
-    mean_logp = jnp.mean(jax.vmap(logp)(pars))
-    return pars, -mean_logp, states, res.accept_rate
+    nll, states = _ensemble_posterior(pars, logp, X, Y, F, mask, n, noise_var, beta0, config)
+    return pars, nll, states, res.accept_rate
 
 
 @partial(jax.jit, static_argnames=("config", "n_ensemble", "n_steps"))
@@ -209,12 +216,8 @@ def _fit_kernel_vi(key, lo, hi, X, Y, F, mask, n, noise_var, beta0, config, n_en
     mean, log_std = fit_vi(k_fit, logp, lo, hi, n_steps=n_steps)
     eps = jax.random.normal(k_sample, (n_ensemble, lo.shape[0]), lo.dtype)
     pars = _to_box(mean[None, :] + jnp.exp(log_std)[None, :] * eps, lo, hi)
-    point_cfg = config._replace(n_ensemble=0)
-    states = jax.vmap(
-        lambda p: posterior_state(p, X, Y, F, mask, n, noise_var, beta0, point_cfg)
-    )(pars)
-    mean_logp = jnp.mean(jax.vmap(logp)(pars))
-    return pars, -mean_logp, states, (mean, log_std)
+    nll, states = _ensemble_posterior(pars, logp, X, Y, F, mask, n, noise_var, beta0, config)
+    return pars, nll, states, (mean, log_std)
 
 
 @partial(jax.jit, static_argnames=("config", "n_generations"))
@@ -477,45 +480,36 @@ class GaussianProcess:
             starts[1, :dim] = np.log10(np.clip(theta_med, self.thetaL, self.thetaU))
 
         noise_var = self.noise_var if self.estimation_mode == "noisy" else 0.0
+        n_j = jnp.asarray(float(n), self.dtype)
         for attempt in range(6):
-            if self.optimizer in ("HMC", "NUTS"):
+            lo_b = jnp.asarray(bounds[:, 0], self.dtype)
+            hi_b = jnp.asarray(bounds[:, 1], self.dtype)
+            nv_j = jnp.asarray(float(noise_var), self.dtype)
+            if self.optimizer in ("HMC", "NUTS", "VI"):
                 S = int(getattr(self, "n_ensemble", 16))
-                par_s, nll, state, acc = _fit_kernel_hmc(
-                    jax.random.PRNGKey(int(self._rng.integers(0, 2**31 - 1))),
-                    jnp.asarray(starts[: max(4, min(R, 8))], self.dtype),
-                    jnp.asarray(bounds[:, 0], self.dtype),
-                    jnp.asarray(bounds[:, 1], self.dtype),
-                    Xj, Yj, Fj, maskj, jnp.asarray(float(n), self.dtype),
-                    jnp.asarray(float(noise_var), self.dtype),
-                    beta0, config, S, getattr(self, "hmc_warmup", 150),
-                    "nuts" if self.optimizer == "NUTS" else "hmc",
-                )
-                self.accept_rate_ = np.asarray(acc, dtype=float)
-                self.theta_samples_ = np.asarray(10.0 ** np.asarray(par_s)[:, :dim])
-                par = jnp.median(par_s, axis=0)
-                config = config._replace(n_ensemble=S)
-            elif self.optimizer == "VI":
-                S = int(getattr(self, "n_ensemble", 16))
-                par_s, nll, state, vi_params = _fit_kernel_vi(
-                    jax.random.PRNGKey(int(self._rng.integers(0, 2**31 - 1))),
-                    jnp.asarray(bounds[:, 0], self.dtype),
-                    jnp.asarray(bounds[:, 1], self.dtype),
-                    Xj, Yj, Fj, maskj, jnp.asarray(float(n), self.dtype),
-                    jnp.asarray(float(noise_var), self.dtype),
-                    beta0, config, S, getattr(self, "vi_steps", 400),
-                )
-                self.vi_params_ = tuple(np.asarray(p) for p in vi_params)
+                key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31 - 1)))
+                if self.optimizer == "VI":
+                    par_s, nll, state, vi_params = _fit_kernel_vi(
+                        key, lo_b, hi_b, Xj, Yj, Fj, maskj, n_j, nv_j,
+                        beta0, config, S, getattr(self, "vi_steps", 400),
+                    )
+                    self.vi_params_ = tuple(np.asarray(p) for p in vi_params)
+                else:
+                    par_s, nll, state, acc = _fit_kernel_hmc(
+                        key, jnp.asarray(starts[: max(4, min(R, 8))], self.dtype),
+                        lo_b, hi_b, Xj, Yj, Fj, maskj, n_j, nv_j,
+                        beta0, config, S, getattr(self, "hmc_warmup", 150),
+                        "nuts" if self.optimizer == "NUTS" else "hmc",
+                    )
+                    self.accept_rate_ = np.asarray(acc, dtype=float)
                 self.theta_samples_ = np.asarray(10.0 ** np.asarray(par_s)[:, :dim])
                 par = jnp.median(par_s, axis=0)
                 config = config._replace(n_ensemble=S)
             elif self.optimizer == "CMA":
                 par, nll, state = _fit_kernel_cma(
                     jax.random.PRNGKey(int(self._rng.integers(0, 2**31 - 1))),
-                    jnp.asarray(starts, self.dtype),
-                    jnp.asarray(bounds[:, 0], self.dtype),
-                    jnp.asarray(bounds[:, 1], self.dtype),
-                    Xj, Yj, Fj, maskj, jnp.asarray(float(n), self.dtype),
-                    jnp.asarray(float(noise_var), self.dtype),
+                    jnp.asarray(starts, self.dtype), lo_b, hi_b,
+                    Xj, Yj, Fj, maskj, n_j, nv_j,
                     beta0, config, 4 * self.max_iter,
                 )
             else:
@@ -538,11 +532,8 @@ class GaussianProcess:
                     and self.estimation_mode != "noiseless"
                 ):
                     probe = _probe_kernel(
-                        jnp.asarray(starts, self.dtype),
-                        jnp.asarray(bounds[:, 0], self.dtype),
-                        jnp.asarray(bounds[:, 1], self.dtype),
-                        Xj, Yj, Fj, maskj, jnp.asarray(float(n), self.dtype),
-                        jnp.asarray(float(noise_var), self.dtype), beta0, config,
+                        jnp.asarray(starts, self.dtype), lo_b, hi_b,
+                        Xj, Yj, Fj, maskj, n_j, nv_j, beta0, config,
                     )
                     if bool(np.all(np.asarray(probe) >= 1e11)):
                         noise_var, config, bounds, starts = self._escalate_nugget(
@@ -558,10 +549,6 @@ class GaussianProcess:
                 rungs, (n_final, iters_b) = _mle_ladder_plan(
                     n, n_pad, len(starts), self.max_iter, self.multi_fidelity
                 )
-                lo_b = jnp.asarray(bounds[:, 0], self.dtype)
-                hi_b = jnp.asarray(bounds[:, 1], self.dtype)
-                nv_j = jnp.asarray(float(noise_var), self.dtype)
-
                 # rung subsets ship in ONE batched device_put; the per-size
                 # constants (all-ones mask, count scalar) are cached across
                 # refits, so a warm fit's rung uploads are one RPC batch
@@ -583,7 +570,7 @@ class GaussianProcess:
                     ones_ns, ns_j = self._const_cache[ns]
                     stages.append((Xs, Ys, self._trend_F(Xs), ones_ns, ns_j))
                     plan.append((n_in, iters))
-                stages.append((Xj, Yj, Fj, maskj, jnp.asarray(float(n), self.dtype)))
+                stages.append((Xj, Yj, Fj, maskj, n_j))
                 plan.append((n_final, iters_b))
                 par, nll, state = _ladder_kernel(
                     jnp.asarray(starts, self.dtype), lo_b, hi_b, tuple(stages),

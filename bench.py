@@ -32,6 +32,33 @@ DIM = 5
 N_REPEATS = 3
 
 
+
+def _bench_data(n_obs):
+    """Shared bench problem: X ~ U[0,1]^d, y = sum(sin(3x)) + noise, standardized."""
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    X = rng.uniform(0, 1, (n_obs, DIM))
+    y = np.sin(3 * X).sum(1) + 0.1 * rng.standard_normal(n_obs)
+    return X, (y - y.mean()) / y.std()
+
+
+def _measure(one_iter):
+    """Warm-up once, then report the median of N_REPEATS timed iterations."""
+    import numpy as np
+
+    _mark("setup done; warm-up iteration (cold XLA compiles)")
+    one_iter()
+    _mark("warm-up done; measuring")
+    times = []
+    for _ in range(N_REPEATS):
+        t0 = time.perf_counter()
+        one_iter()
+        times.append(time.perf_counter() - t0)
+    _mark(f"measured {[round(t, 3) for t in times]}")
+    return float(np.median(times))
+
+
 def main():
     import numpy as np
 
@@ -43,40 +70,24 @@ def main():
     from bayesian_optimization_tpu.optim.argmax import AcquisitionArgmax
     from bayesian_optimization_tpu.space import RealSpace
 
-    rng = np.random.default_rng(1)
-    X = rng.uniform(0, 1, (N_OBS, DIM))
-    y = np.sin(3 * X).sum(1) + 0.1 * rng.standard_normal(N_OBS)
-    y_std = (y - y.mean()) / y.std()
-
+    X, y_std = _bench_data(N_OBS)
     gp = GaussianProcess(
         mean=constant_trend(DIM), corr="matern",
         thetaL=1e-3 * np.ones(DIM), thetaU=1e3 * np.ones(DIM),
         nugget=1e-6, random_start=10, random_state=0,
     )
     space = RealSpace([[0.0, 1.0]] * DIM)
-    enc = space.encoding()
-    argmax = AcquisitionArgmax(enc, method="BFGS", n_restart=5 * DIM, seed=0)
-
-    def one_iter():
-        gp.fit(X, y_std)
-        u, v = argmax(gp.posterior, gp.config, "EI", {"plugin": float(y_std.min())})
-        return u, v
+    argmax = AcquisitionArgmax(space.encoding(), method="BFGS", n_restart=5 * DIM, seed=0)
 
     # no gp.precompile() here: under the remote-compile TPU plugin the
     # thread-overlapped warmup gains nothing (the compile service serializes
     # requests) and concurrent RPCs have repeatedly wedged the relay for
-    # minutes; the plain sequential cold path below is ~2 min and has been
+    # minutes; the plain sequential cold path is ~2 min and has been
     # stall-free across every measured run
-    _mark("setup done; warm-up iteration (cold XLA compiles)")
-    one_iter()  # warm-up: compile MLE ladder + argmax + eager ops
-    _mark("warm-up done; measuring")
-    times = []
-    for _ in range(N_REPEATS):
-        t0 = time.perf_counter()
-        one_iter()
-        times.append(time.perf_counter() - t0)
-    value = float(np.median(times))
-    _mark(f"measured {[round(t, 3) for t in times]}")
+    value = _measure(lambda: (
+        gp.fit(X, y_std),
+        argmax(gp.posterior, gp.config, "EI", {"plugin": float(y_std.min())}),
+    ))
 
     print(json.dumps({
         "metric": "gp_fit_plus_acq_argmax_per_iter_n1000_d5",
@@ -98,11 +109,7 @@ def main_nuts():
     from bayesian_optimization_tpu.optim.argmax import AcquisitionArgmax
     from bayesian_optimization_tpu.space import RealSpace
 
-    rng = np.random.default_rng(1)
-    X = rng.uniform(0, 1, (N_OBS, DIM))
-    y = np.sin(3 * X).sum(1) + 0.1 * rng.standard_normal(N_OBS)
-    y_std = (y - y.mean()) / y.std()
-
+    X, y_std = _bench_data(N_OBS)
     gp = GaussianProcess(
         mean=constant_trend(DIM), corr="matern",
         thetaL=1e-3 * np.ones(DIM), thetaU=1e3 * np.ones(DIM),
@@ -116,21 +123,10 @@ def main_nuts():
     gp.n_ensemble = 8
     space = RealSpace([[0.0, 1.0]] * DIM)
     argmax = AcquisitionArgmax(space.encoding(), method="BFGS", n_restart=5 * DIM, seed=0)
-
-    def one_iter():
-        gp.fit(X, y_std)
-        return argmax(gp.posterior, gp.config, "EI", {"plugin": float(y_std.min())})
-
-    _mark("NUTS setup done; warm-up iteration (cold XLA compiles)")
-    one_iter()
-    _mark("warm-up done; measuring")
-    times = []
-    for _ in range(N_REPEATS):
-        t0 = time.perf_counter()
-        one_iter()
-        times.append(time.perf_counter() - t0)
-    value = float(np.median(times))
-    _mark(f"measured {[round(t, 3) for t in times]}")
+    value = _measure(lambda: (
+        gp.fit(X, y_std),
+        argmax(gp.posterior, gp.config, "EI", {"plugin": float(y_std.min())}),
+    ))
     print(json.dumps({
         "metric": "nuts_gp_fit_plus_acq_argmax_per_iter_n1000_d5",
         "value": round(value, 4),
@@ -146,25 +142,13 @@ def main_fit_n(n_obs: int):
 
     from bayesian_optimization_tpu.models import GaussianProcess, constant_trend
 
-    rng = np.random.default_rng(1)
-    X = rng.uniform(0, 1, (n_obs, DIM))
-    y = np.sin(3 * X).sum(1) + 0.1 * rng.standard_normal(n_obs)
-    y_std = (y - y.mean()) / y.std()
+    X, y_std = _bench_data(n_obs)
     gp = GaussianProcess(
         mean=constant_trend(DIM), corr="matern",
         thetaL=1e-3 * np.ones(DIM), thetaU=1e3 * np.ones(DIM),
         nugget=1e-6, random_start=10, random_state=0,
     )
-    _mark(f"fit-n setup done (n={n_obs}); warm-up fit")
-    gp.fit(X, y_std)
-    _mark("warm-up done; measuring")
-    times = []
-    for _ in range(N_REPEATS):
-        t0 = time.perf_counter()
-        gp.fit(X, y_std)
-        times.append(time.perf_counter() - t0)
-    value = float(np.median(times))
-    _mark(f"measured {[round(t, 3) for t in times]}")
+    value = _measure(lambda: gp.fit(X, y_std))
     print(json.dumps({
         "metric": f"gp_fit_per_iter_n{n_obs}_d5",
         "value": round(value, 4),
