@@ -310,3 +310,47 @@ def test_theta_prior_pulls_away_from_white_noise_basin():
     mid_dist1 = np.abs(np.log10(gp1.theta_) - 2.0).mean()
     assert mid_dist1 < mid_dist0
     assert mid_dist1 < 1.0, gp1.theta_
+
+
+def test_escalate_nugget_contract():
+    """The shared escalation helper (ref parity: gpr.py:384-399), used by
+    both the all-dead probe and the post-fit ok check: a noiseless model
+    flips to noisy with a 1e-5 floor and fresh config/bounds/starts (one
+    extra hyperparameter); an already-noisy model bumps the noise x10."""
+    gp = GaussianProcess(
+        mean=constant_trend(2), corr="matern",
+        thetaL=1e-2 * np.ones(2), thetaU=1e2 * np.ones(2),
+        nugget=0.0, random_start=4, random_state=0,
+    )
+    assert gp.estimation_mode == "noiseless"
+    y = np.linspace(-1, 1, 8)
+    config0 = gp._config(2)
+    bounds0 = gp._hyper_bounds(2, y)
+    starts0 = np.zeros((4, bounds0.shape[0]))
+    nv, config, bounds, starts = gp._escalate_nugget(
+        2, y, 0.0, config0, bounds0, starts0, 4
+    )
+    assert gp.estimation_mode == "noisy"
+    assert nv == 1e-5
+    assert config.mode == "noisy"
+    assert bounds.shape[0] == bounds0.shape[0] + 1   # noise hyperparameter
+    assert starts.shape == (4, bounds.shape[0])
+    # second escalation: already noisy -> x10, everything else unchanged
+    nv2, config2, bounds2, starts2 = gp._escalate_nugget(
+        2, y, nv, config, bounds, starts, 4
+    )
+    assert nv2 == pytest.approx(1e-4)
+    assert config2 is config and bounds2 is bounds and starts2 is starts
+    # fit on duplicated conflicting data in noiseless mode stays FINITE
+    # (the likelihood jitter absorbs rank deficiency without escalation)
+    rng = np.random.default_rng(0)
+    Xb = rng.uniform(0, 1, (12, 2))
+    gp2 = GaussianProcess(
+        mean=constant_trend(2), corr="matern",
+        thetaL=1e-2 * np.ones(2), thetaU=1e2 * np.ones(2),
+        nugget=0.0, random_start=4, random_state=0,
+    )
+    gp2.fit(np.vstack([Xb, Xb]), np.concatenate([Xb.sum(1), Xb.sum(1) + 0.5]))
+    assert np.isfinite(gp2.log_likelihood_)
+    mu, mse = gp2.predict(Xb[:4], eval_MSE=True)
+    assert np.all(np.isfinite(mu)) and np.all(mse >= 0.0)
