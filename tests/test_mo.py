@@ -244,3 +244,26 @@ def test_rf_multioutput_predict_shapes():
     # per-output means must match sklearn's own multi-output predict
     ref = rf._rf.predict(X[:7])
     assert np.allclose(mu, ref, atol=1e-5)
+
+
+def test_mobo_qehvi_3_objectives():
+    """Joint q=2 qEHVI proposals on a 3-objective problem — the MC qEHVI
+    integrates over the round-4 slab cells (the grid would have made this
+    shape explode combinatorially)."""
+    fns = [
+        lambda x: float(x[0]) ** 2 + float(x[1]) ** 2,
+        lambda x: (float(x[0]) - 1) ** 2 + float(x[1]) ** 2,
+        lambda x: float(x[0]) ** 2 + (float(x[1]) - 1) ** 2,
+    ]
+    space = RealSpace([[-1, 2]] * 2, random_seed=0)
+    opt = MOBO_qEHVI(
+        search_space=space, obj_fun=fns, n_obj=3,
+        DoE_size=8, max_FEs=16, n_point=2, random_seed=0,
+    )
+    X = opt.ask(8)
+    opt.tell(X, opt.evaluate(X))
+    X2 = opt.ask()  # joint q=2 proposal over the replicated space
+    assert len(X2) == 2
+    opt.tell(X2, opt.evaluate(X2))
+    assert opt.data.N == 10
+    assert opt.xopt.N >= 2
