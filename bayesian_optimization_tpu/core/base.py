@@ -216,6 +216,7 @@ class BaseBO(BaseOptimizer):
         self._acquisition_callbacks: List[Callable] = []
 
         self.encoding = self._search_space.encoding()
+        self._constraints = self._build_constraints()
         self.model = model if model is not None else self._default_model()
         self._rescale_theta_bounds_to_unit()
         self._set_internal_optimization(acquisition_optimization or {})
@@ -290,6 +291,24 @@ class BaseBO(BaseOptimizer):
                 m.theta0 = t0 * scale
         m._theta_bounds_unit_scaled = True
 
+    def _build_constraints(self):
+        """Compile eq/ineq callables into a batched `ConstraintProgram` for
+        the fused argmax (ref parity: the `Penalized` criterion wrapper +
+        feasibility filter of acquisition/optim/__init__.py:33-52,124-126)."""
+        if self.h is None and self.g is None:
+            return None
+        from ..optim.constraints import ConstraintProgram
+
+        cp = ConstraintProgram(
+            self.encoding, h=self.h, g=self.g,
+            eval_type=self._eval_type, var_names=self.var_names,
+        )
+        self.logger.info(
+            "constraints compiled for the acquisition argmax: "
+            f"traceable={cp.traceable} (n_h={cp.n_h}, n_g={cp.n_g})"
+        )
+        return cp
+
     def _set_internal_optimization(self, opts: dict):
         """Pick the argmax engine (ref parity: base.py:192-229 + option.py)."""
         method = opts.get("optimizer", "auto")
@@ -297,6 +316,19 @@ class BaseBO(BaseOptimizer):
             all_real = bool(np.all(self.encoding.is_real))
             can_grad = isinstance(self.model, GaussianProcess)
             method = "BFGS" if (all_real and can_grad) else "MIES"
+        if (
+            method == "BFGS"
+            and self._constraints is not None
+            and not self._constraints.traceable
+        ):
+            # a host-callback penalty has no gradient: use the
+            # derivative-free engine (the reference's BFGS path instead
+            # finite-differences the penalty, optim/__init__.py:49)
+            method = "OnePlusOne_Cholesky_CMA"
+            self.logger.warning(
+                "constraints are not jax-traceable; the acquisition argmax "
+                "falls back to the derivative-free CMA engine"
+            )
         self._optimizer_name = method
         self._argmax = AcquisitionArgmax(
             self.encoding,
@@ -305,6 +337,7 @@ class BaseBO(BaseOptimizer):
             max_FEs=opts.get("max_FEs"),
             seed=(self.random_seed or 0) + 17,
             mesh=getattr(self, "_mesh", None),
+            constraints=self._constraints,
         )
 
     @property
@@ -352,6 +385,18 @@ class BaseBO(BaseOptimizer):
             n_point = self.n_point if n_point is None else int(n_point)
             X = self.arg_max_acquisition(n_point=n_point, fixed=fixed)
             X = self.pre_eval_check(X)
+            if self._constraints is not None and len(X):
+                # drop infeasible argmax winners so the back-fill below
+                # replaces them with constrained-DoE samples (ref parity:
+                # argmax_restart returning [] for all-infeasible restarts,
+                # optim/__init__.py:124-126,149-150)
+                feas = self._constraints.feasible_rows(X)
+                if not np.all(feas):
+                    self.logger.warning(
+                        f"iteration {self.iter_count}: {int((~feas).sum())} "
+                        "infeasible acquisition winners dropped"
+                    )
+                    X = [x for x, ok in zip(X, feas) if ok]
             if len(X) < n_point:
                 self.logger.warning(
                     f"iteration {self.iter_count}: duplicated candidates from the "
@@ -385,7 +430,9 @@ class BaseBO(BaseOptimizer):
         xopt = self.xopt
         self.logger.info(f"fopt: {xopt.fitness.ravel()}")
         if self.h is not None or self.g is not None:
-            hv, gv = eval_constraints_host(xopt.first(), self.h, self.g)
+            hv, gv = eval_constraints_host(
+                xopt.first(), self._host_constraint(self.h), self._host_constraint(self.g)
+            )
             pen = (np.abs(hv).sum() if hv is not None else 0.0) + (
                 np.maximum(gv, 0).sum() if gv is not None else 0.0
             )
@@ -393,6 +440,18 @@ class BaseBO(BaseOptimizer):
         if not warm_start:
             self.iter_count += 1
             self.hist_f.append(xopt.fitness.ravel().copy())
+
+    def _host_constraint(self, fn):
+        """Adapt a user constraint to take a full LIST row regardless of
+        eval_type (ref parity: utils/utils.py:218-232 func_with_list_arg)."""
+        if fn is None or self._eval_type == "list":
+            return fn
+        names = self.var_names
+
+        def wrapped(x):
+            return fn(dict(zip(names, list(x))))
+
+        return wrapped
 
     def create_DoE(self, n_point: int, fixed: Optional[dict] = None) -> List:
         """LHS design with constraint-aware sampling and fixed-variable fill
@@ -406,8 +465,8 @@ class BaseBO(BaseOptimizer):
             vals.update(fixed)
             return [vals[name] for name in self.var_names]
 
-        h = _partial_constraint(self.h, self.var_names, fixed, free_names)
-        g = _partial_constraint(self.g, self.var_names, fixed, free_names)
+        h = _partial_constraint(self._host_constraint(self.h), self.var_names, fixed, free_names)
+        g = _partial_constraint(self._host_constraint(self.g), self.var_names, fixed, free_names)
 
         DoE: List[list] = []
         for _ in range(4):
@@ -510,6 +569,12 @@ class BaseBO(BaseOptimizer):
         out = dict(par)
         if self.acquisition_fun in ("EI", "PI", "EpsilonPI", "MGFI", "GEI") and "plugin" not in out:
             out["plugin"] = self.fmin if self.minimize else -self.fmax
+        if self._constraints is not None:
+            # dynamic-penalty time parameter: the reference's Penalized.t
+            # starts at 10 and increments once per criterion eval, ending
+            # near 10 + budget — use that terminal strength for the whole
+            # fused program (optim/__init__.py:43-50)
+            out.setdefault("_penalty_t", 10.0 + float(self._argmax.max_FEs))
         # nonparametric prior mean: ship the RF state into the fused
         # criterion so acquisition values see prior + residual, not the
         # residual process alone (optim/argmax.make_unit_criterion)
@@ -574,10 +639,12 @@ class BaseBO(BaseOptimizer):
         os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
         logger, timer = self.logger, self._timer
         argmax, mesh = self._argmax, getattr(self, "_mesh", None)
+        constraints = self._constraints
         try:
             self.logger = None
             self._argmax = None
             self._mesh = None
+            self._constraints = None  # rebuilt from h/g on load
             with open(filename, "wb") as f:
                 dill.dump(self, f)
         finally:
@@ -585,6 +652,7 @@ class BaseBO(BaseOptimizer):
             self._timer = timer
             self._argmax = argmax
             self._mesh = mesh
+            self._constraints = constraints
 
     @classmethod
     def load(cls, filename: str):
@@ -593,6 +661,7 @@ class BaseBO(BaseOptimizer):
         with open(filename, "rb") as f:
             obj = dill.load(f)
         obj.logger = get_logger(f"{type(obj).__name__}({obj.instance_id})", console=obj.verbose)
+        obj._constraints = obj._build_constraints()
         obj._set_internal_optimization({"optimizer": obj._optimizer_name})
         return obj
 

@@ -465,7 +465,7 @@ class GaussianProcess:
         elif self.theta0 is not None:
             t0 = np.repeat(self.theta0, dim) if len(self.theta0) == 1 else self.theta0
             starts[0, :dim] = np.log10(np.clip(t0, self.thetaL, self.thetaU))
-        if R > 1:
+        if R > 1 and n >= 2:
             # second start: the anisotropic median heuristic — theta_d such
             # that the median total weighted squared distance is ~1, i.e.
             # theta_d = 1 / (dim * median_pairs (x_d - x'_d)^2). Lands a

@@ -286,21 +286,27 @@ def _on_tpu() -> bool:
         return False
 
 
-def _use_fused_whiten(n: int) -> bool:
+def _use_fused_whiten(n: int, dtype=None) -> bool:
     """The single-launch Pallas factor+solve runs on real TPU backends for
     the bucket sizes whose R + L fit VMEM (n <= 1024). Everything else
-    (CPU tests, giant buckets) takes the blocked XLA path below.
+    (CPU tests, giant buckets, the f64 likelihood option — Pallas kernels
+    are f32) takes the blocked XLA path below.
     BOTPU_NO_FUSED_WHITEN=1 forces the XLA path (A/B benchmarking)."""
     if os.environ.get("BOTPU_NO_FUSED_WHITEN"):
+        return False
+    if dtype is not None and dtype == jnp.float64:
         return False
     return _on_tpu() and n % BLOCK == 0 and BLOCK <= n <= 1024
 
 
-def _use_hybrid_whiten(n: int) -> bool:
+def _use_hybrid_whiten(n: int, dtype=None) -> bool:
     """Above the VMEM limit (n > 1024) the factorization goes hybrid:
     superpanel GEMMs in XLA + one Pallas launch per 1024-wide diagonal
-    block (see _factor_hybrid). Same env/backend gates as the fused path."""
+    block (see _factor_hybrid). Same env/backend/dtype gates as the fused
+    path."""
     if os.environ.get("BOTPU_NO_FUSED_WHITEN"):
+        return False
+    if dtype is not None and dtype == jnp.float64:
         return False
     return _on_tpu() and n > SUPER and n % SUPER == 0
 
@@ -355,13 +361,13 @@ def _whiten_parts(R, B):
     eval instead of a ~1.1k-deep chain of tiny column ops — the measured
     warm-fit bottleneck; see ops/pallas_kernels.whiten_fused) and to the
     blocked XLA path elsewhere."""
-    if _use_fused_whiten(R.shape[-1]):
+    if _use_fused_whiten(R.shape[-1], R.dtype):
         from .pallas_kernels import whiten_fused
 
         d, W, piv, L, Dinv = whiten_fused(R, B)
         return (d, W, piv), (L, Dinv, W)
     with jax.default_matmul_precision("high"):
-        if _use_hybrid_whiten(R.shape[-1]):
+        if _use_hybrid_whiten(R.shape[-1], R.dtype):
             L, Dinv, piv = _factor_hybrid(R)
         else:
             L, Dinv, piv = _factor(R)
@@ -435,12 +441,12 @@ def chol_inv_whiten(R: jnp.ndarray, B: jnp.ndarray):
     NOT differentiable through the Pallas branch — posterior-state
     construction is never differentiated (gradients of predictions w.r.t.
     query points flow through PosteriorState as constants)."""
-    if _use_fused_whiten(R.shape[-1]):
+    if _use_fused_whiten(R.shape[-1], R.dtype):
         from .pallas_kernels import whiten_fused
 
         _d, W, piv, L, Dinv = whiten_fused(R, B)
         return L, _block_tri_inv(L, Dinv), W, piv
-    if _use_hybrid_whiten(R.shape[-1]):
+    if _use_hybrid_whiten(R.shape[-1], R.dtype):
         L, Dinv, piv = _factor_hybrid(R)
         with jax.default_matmul_precision("high"):
             W = tri_solve_lower(L, Dinv, B)

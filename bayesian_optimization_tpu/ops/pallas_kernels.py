@@ -25,6 +25,32 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE = 128
 
+_VMEM_CAP = None
+
+
+def _wf_vmem_cap() -> int:
+    """Scoped-VMEM cap for the whiten/factor kernel: the env override wins,
+    otherwise derive from the chip generation — v4+ parts have >=64 MB of
+    physical VMEM, pre-v4 only 16 MB, where a raised cap fails at compile
+    time (round-4 ADVICE)."""
+    global _VMEM_CAP
+    if _VMEM_CAP is None:
+        env = os.environ.get("BOTPU_WF_VMEM_BYTES")
+        if env:
+            _VMEM_CAP = int(env)
+        else:
+            kind = ""
+            try:
+                kind = jax.devices()[0].device_kind.lower()
+            except Exception:  # pragma: no cover - backend init failure
+                pass
+            import re
+
+            m = re.search(r"v(\d+)", kind)
+            gen = int(m.group(1)) if m else 0
+            _VMEM_CAP = (64 if gen >= 4 else 16) * 1024 * 1024
+    return _VMEM_CAP
+
 
 def _matern_tile_kernel(nu: float, sym: bool):
     sqrt3 = math.sqrt(3.0)
@@ -282,12 +308,8 @@ def whiten_fused(R, B, interpret: bool = False):
         # the default 16 MB scoped-VMEM cap is 0.5 MB short when this kernel
         # runs batched under vmap (the hybrid factorization's superpanels
         # inside the multi-restart MLE ladder, e.g. 6 restarts x n=2048);
-        # v5e VMEM is far larger, so raise the cap rather than shrink tiles
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(
-                os.environ.get("BOTPU_WF_VMEM_BYTES", 64 * 1024 * 1024)
-            )
-        ),
+        # raise the cap only on chips that physically have the VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_wf_vmem_cap()),
         interpret=interpret,
     )(R, Bp)
     nb = n // TILE

@@ -66,9 +66,16 @@ def make_unit_criterion(
     minimize: bool = True,
     fixed_mask: Optional[jnp.ndarray] = None,
     fixed_vals: Optional[jnp.ndarray] = None,
+    constraints=None,
 ) -> Callable:
     """Build crit(U[P, dim]) -> value[P]: unit cube -> embed -> fused GP
-    posterior -> acquisition. Larger is better."""
+    posterior -> acquisition. Larger is better.
+
+    constraints: optional `ConstraintProgram`; its dynamic penalty is
+    SUBTRACTED from the criterion inside the program (ref parity: the
+    `Penalized` wrapper of optim/__init__.py:33-52, with autodiff replacing
+    the reference's finite-difference penalty gradient when the user's
+    callables trace)."""
     # reserved "_"-prefixed keys are NOT acquisition kwargs:
     # - "_pca*" carry PCABO's out-of-box penalty parameters
     #   (ref parity: extension.py:62-86);
@@ -76,12 +83,29 @@ def make_unit_criterion(
     #   XLA-traversable RF prior mean, added to the GP's RESIDUAL posterior
     #   mean so acquisition values see the full prediction (without this
     #   the fused argmax silently optimized the residual process only)
+    # - "_penalty_t" is the dynamic-penalty time parameter for `constraints`
     reserved = {k: v for k, v in acq_params.items() if k.startswith("_")}
     _PCA_KEYS = ("_pca_C", "_pca_offset", "_box_lo", "_box_hi", "_red_lo", "_red_hi")
     pca_info = {k: reserved[k] for k in _PCA_KEYS if k in reserved}
     prior_state = reserved.get("_prior_state")
     prior_depth = reserved.get("_prior_depth")
+    penalty_t = reserved.get("_penalty_t", 10.0)
     acq_params = {k: v for k, v in acq_params.items() if not k.startswith("_")}
+
+    def subst_fixed(U: jnp.ndarray) -> jnp.ndarray:
+        if fixed_mask is not None:
+            return jnp.where(fixed_mask[None, :] > 0, fixed_vals[None, :], U)
+        return U
+
+    def apply_penalty(value: jnp.ndarray, U2d: jnp.ndarray) -> jnp.ndarray:
+        """value (P,) minus the dynamic penalty of unit rows (P', dim) with
+        P' an integer multiple of P (joint-q criteria sum per-copy terms)."""
+        if constraints is None:
+            return value
+        pen = constraints.penalty(U2d, penalty_t)
+        if pen.shape[0] != value.shape[0]:
+            pen = pen.reshape(value.shape[0], -1).sum(axis=1)
+        return value - pen
 
     def box_penalty(U: jnp.ndarray) -> jnp.ndarray:
         """Negative total violation of the ORIGINAL box after inverse PCA."""
@@ -118,7 +142,8 @@ def make_unit_criterion(
 
         def crit(U: jnp.ndarray) -> jnp.ndarray:
             mu, sd = moments(U)  # (P, m) — maximization-oriented outputs
-            return ehvi(mu, sd, acq_params["cell_lower"], acq_params["cell_upper"])
+            value = ehvi(mu, sd, acq_params["cell_lower"], acq_params["cell_upper"])
+            return apply_penalty(value, subst_fixed(U))
 
         return crit
 
@@ -147,12 +172,14 @@ def make_unit_criterion(
             sd = jnp.sqrt(jnp.maximum(var, 0.0))
             mu = mu.reshape(P, q, -1)
             sd = sd.reshape(P, q, -1)
-            return jax.vmap(
+            value = jax.vmap(
                 lambda m, s: qehvi(
                     m, s, acq_params["cell_lower"], acq_params["cell_upper"],
                     acq_params["key"], n_samples=64,
                 )
             )(mu, sd)
+            # per-copy constraint penalties summed over the q block
+            return apply_penalty(value, Uv.reshape(P * q, -1))
 
         return crit
 
@@ -176,45 +203,67 @@ def make_unit_criterion(
         if pca_info:
             pen = box_penalty(U)
             value = jnp.where(pen < 0.0, pen, value)
-        return value
+        return apply_penalty(value, subst_fixed(U))
 
     return crit
 
 
+def _select_feasible(constraints, X, F, x_fallback, f_fallback):
+    """Prefer the best FEASIBLE restart/chain winner over the population
+    finals (X: (P, dim) unit rows, F: (P,) maximized values); fall back to
+    the penalized best when no winner is feasible
+    (ref parity: optim/__init__.py:124-126 feasibility filter)."""
+    feas = constraints.feasible_in_program(X)
+    masked = jnp.where(feas, F, -jnp.inf)
+    i = jnp.argmax(masked)
+    any_f = jnp.any(feas)
+    xb = jnp.where(any_f, X[i], x_fallback)
+    fb = jnp.where(any_f, masked[i], f_fallback)
+    return xb, fb
+
+
 @partial(
     jax.jit,
-    static_argnames=("encoding", "config", "acq_name", "minimize", "max_iter"),
+    static_argnames=("encoding", "config", "acq_name", "minimize", "max_iter", "constraints"),
 )
 def _bfgs_argmax(
     key, state, config, encoding, acq_name, acq_params, minimize,
-    x0, fixed_mask, fixed_vals, max_iter,
+    x0, fixed_mask, fixed_vals, max_iter, constraints=None,
 ):
     crit = make_unit_criterion(
-        encoding, state, config, acq_name, acq_params, minimize, fixed_mask, fixed_vals
+        encoding, state, config, acq_name, acq_params, minimize, fixed_mask, fixed_vals,
+        constraints,
     )
     one = lambda u: crit(u[None, :])[0]
     dim = x0.shape[-1]
     res = maximize_restarts(one, x0, jnp.zeros(dim), jnp.ones(dim), max_iter=max_iter)
-    u = res.x_best
+    if constraints is not None:
+        u, val = _select_feasible(constraints, res.x, res.fun, res.x_best, res.fun_best)
+    else:
+        u, val = res.x_best, res.fun_best
     if fixed_mask is not None:
         u = jnp.where(fixed_mask > 0, fixed_vals, u)
-    return u, res.fun_best
+    return u, val
 
 
 @partial(
     jax.jit,
-    static_argnames=("encoding", "config", "acq_name", "minimize", "n_generations"),
+    static_argnames=("encoding", "config", "acq_name", "minimize", "n_generations", "constraints"),
 )
 def _cma_argmax(
     key, state, config, encoding, acq_name, acq_params, minimize,
-    x0, fixed_mask, fixed_vals, n_generations,
+    x0, fixed_mask, fixed_vals, n_generations, constraints=None,
 ):
     crit = make_unit_criterion(
-        encoding, state, config, acq_name, acq_params, minimize, fixed_mask, fixed_vals
+        encoding, state, config, acq_name, acq_params, minimize, fixed_mask, fixed_vals,
+        constraints,
     )
     dim = x0.shape[-1]
     neg = lambda U: -crit(U)
-    xb, fb, _, _ = run_cma(key, neg, x0, jnp.zeros(dim), jnp.ones(dim), n_generations)
+    xb, fb, xs, fs = run_cma(key, neg, x0, jnp.zeros(dim), jnp.ones(dim), n_generations)
+    if constraints is not None:
+        xb, nfb = _select_feasible(constraints, xs, -fs, xb, -fb)
+        fb = -nfb
     if fixed_mask is not None:
         xb = jnp.where(fixed_mask > 0, fixed_vals, xb)
     return xb, -fb
@@ -222,19 +271,23 @@ def _cma_argmax(
 
 @partial(
     jax.jit,
-    static_argnames=("encoding", "config", "acq_name", "minimize", "spec", "n_restarts", "n_generations"),
+    static_argnames=("encoding", "config", "acq_name", "minimize", "spec", "n_restarts", "n_generations", "constraints"),
 )
 def _mies_argmax(
     key, state, config, encoding, acq_name, acq_params, minimize,
-    fixed_mask, fixed_vals, spec, n_restarts, n_generations,
+    fixed_mask, fixed_vals, spec, n_restarts, n_generations, constraints=None,
 ):
     crit = make_unit_criterion(
-        encoding, state, config, acq_name, acq_params, minimize, fixed_mask, fixed_vals
+        encoding, state, config, acq_name, acq_params, minimize, fixed_mask, fixed_vals,
+        constraints,
     )
-    xb, fb = run_mies(
+    xb, fb, xs, fs = run_mies(
         key, lambda U: -crit(U), spec,
         n_restarts=n_restarts, n_generations=n_generations,
     )
+    if constraints is not None:
+        xb, nfb = _select_feasible(constraints, xs, -fs, xb, -fb)
+        fb = -nfb
     if fixed_mask is not None:
         xb = jnp.where(fixed_mask > 0, fixed_vals, xb)
     return xb, -fb
@@ -242,21 +295,25 @@ def _mies_argmax(
 
 @partial(
     jax.jit,
-    static_argnames=("encoding", "config", "acq_name", "minimize", "n_rounds", "n_moves"),
+    static_argnames=("encoding", "config", "acq_name", "minimize", "n_rounds", "n_moves", "constraints"),
 )
 def _smc_argmax(
     key, state, config, encoding, acq_name, acq_params, minimize,
-    x0, fixed_mask, fixed_vals, n_rounds, n_moves,
+    x0, fixed_mask, fixed_vals, n_rounds, n_moves, constraints=None,
 ):
     from .smc import run_smc
 
     crit = make_unit_criterion(
-        encoding, state, config, acq_name, acq_params, minimize, fixed_mask, fixed_vals
+        encoding, state, config, acq_name, acq_params, minimize, fixed_mask, fixed_vals,
+        constraints,
     )
     dim = x0.shape[-1]
-    xb, fb, _, _ = run_smc(
+    xb, fb, xs, fs = run_smc(
         key, lambda U: -crit(U), x0, jnp.zeros(dim), jnp.ones(dim), n_rounds, n_moves
     )
+    if constraints is not None:
+        xb, nfb = _select_feasible(constraints, xs, -fs, xb, -fb)
+        fb = -nfb
     if fixed_mask is not None:
         xb = jnp.where(fixed_mask > 0, fixed_vals, xb)
     return xb, -fb
@@ -264,22 +321,26 @@ def _smc_argmax(
 
 @partial(
     jax.jit,
-    static_argnames=("encoding", "config", "acq_name", "minimize", "n_rounds", "n_moves"),
+    static_argnames=("encoding", "config", "acq_name", "minimize", "n_rounds", "n_moves", "constraints"),
 )
 def _smc_argmax_batch(
     key, state, config, encoding, acq_name, acq_params_batch, minimize,
-    x0_batch, fixed_mask, fixed_vals, n_rounds, n_moves,
+    x0_batch, fixed_mask, fixed_vals, n_rounds, n_moves, constraints=None,
 ):
     from .smc import run_smc
 
     def one(k, params, x0):
         crit = make_unit_criterion(
-            encoding, state, config, acq_name, params, minimize, fixed_mask, fixed_vals
+            encoding, state, config, acq_name, params, minimize, fixed_mask, fixed_vals,
+            constraints,
         )
         dim = x0.shape[-1]
-        xb, fb, _, _ = run_smc(
+        xb, fb, xs, fs = run_smc(
             k, lambda U: -crit(U), x0, jnp.zeros(dim), jnp.ones(dim), n_rounds, n_moves
         )
+        if constraints is not None:
+            xb, nfb = _select_feasible(constraints, xs, -fs, xb, -fb)
+            fb = -nfb
         if fixed_mask is not None:
             xb = jnp.where(fixed_mask > 0, fixed_vals, xb)
         return xb, -fb
@@ -291,11 +352,11 @@ def _smc_argmax_batch(
 
 @partial(
     jax.jit,
-    static_argnames=("encoding", "config", "acq_name", "minimize", "max_iter"),
+    static_argnames=("encoding", "config", "acq_name", "minimize", "max_iter", "constraints"),
 )
 def _bfgs_argmax_batch(
     key, state, config, encoding, acq_name, acq_params_batch, minimize,
-    x0_batch, fixed_mask, fixed_vals, max_iter,
+    x0_batch, fixed_mask, fixed_vals, max_iter, constraints=None,
 ):
     """q-criteria batch: vmap the whole multi-start maximization over the
     leading axis of the parameter pytree and x0 (q, R, dim) — the
@@ -303,34 +364,42 @@ def _bfgs_argmax_batch(
 
     def one(params, x0):
         crit = make_unit_criterion(
-            encoding, state, config, acq_name, params, minimize, fixed_mask, fixed_vals
+            encoding, state, config, acq_name, params, minimize, fixed_mask, fixed_vals,
+            constraints,
         )
         dim = x0.shape[-1]
         res = maximize_restarts(
             lambda u: crit(u[None, :])[0], x0, jnp.zeros(dim), jnp.ones(dim), max_iter=max_iter
         )
-        u = res.x_best
+        if constraints is not None:
+            u, val = _select_feasible(constraints, res.x, res.fun, res.x_best, res.fun_best)
+        else:
+            u, val = res.x_best, res.fun_best
         if fixed_mask is not None:
             u = jnp.where(fixed_mask > 0, fixed_vals, u)
-        return u, res.fun_best
+        return u, val
 
     return jax.vmap(one)(acq_params_batch, x0_batch)
 
 
 @partial(
     jax.jit,
-    static_argnames=("encoding", "config", "acq_name", "minimize", "n_generations"),
+    static_argnames=("encoding", "config", "acq_name", "minimize", "n_generations", "constraints"),
 )
 def _cma_argmax_batch(
     key, state, config, encoding, acq_name, acq_params_batch, minimize,
-    x0_batch, fixed_mask, fixed_vals, n_generations,
+    x0_batch, fixed_mask, fixed_vals, n_generations, constraints=None,
 ):
     def one(k, params, x0):
         crit = make_unit_criterion(
-            encoding, state, config, acq_name, params, minimize, fixed_mask, fixed_vals
+            encoding, state, config, acq_name, params, minimize, fixed_mask, fixed_vals,
+            constraints,
         )
         dim = x0.shape[-1]
-        xb, fb, _, _ = run_cma(k, lambda U: -crit(U), x0, jnp.zeros(dim), jnp.ones(dim), n_generations)
+        xb, fb, xs, fs = run_cma(k, lambda U: -crit(U), x0, jnp.zeros(dim), jnp.ones(dim), n_generations)
+        if constraints is not None:
+            xb, nfb = _select_feasible(constraints, xs, -fs, xb, -fb)
+            fb = -nfb
         if fixed_mask is not None:
             xb = jnp.where(fixed_mask > 0, fixed_vals, xb)
         return xb, -fb
@@ -345,11 +414,16 @@ class AcquisitionArgmax:
 
     method: 'BFGS' (gradient multi-start; continuous spaces),
             'OnePlusOne_Cholesky_CMA' (vectorized ES; any space),
-            'MIES' (mixed-space ES; alias of the masked ES path for now),
+            'MIES' (real (mu, lambda)-MIES with self-adaptive per-type
+            strategy parameters — optim/mies.py),
             'SMC' (CMA chains with annealed systematic resampling between
             move blocks — optim/smc.py, the north-star particle loop),
             'auto' — BFGS for all-real spaces, ES otherwise
             (ref parity: the optimizer selection logic of base.py:192-229).
+
+    constraints: optional `ConstraintProgram` applied to EVERY criterion
+    this instance maximizes — dynamic penalty inside the program plus the
+    reference's feasibility preference on restart winners.
     """
 
     def __init__(
@@ -361,11 +435,13 @@ class AcquisitionArgmax:
         n_chains: Optional[int] = None,
         seed: int = 0,
         mesh=None,
+        constraints=None,
     ):
         # mesh: optional jax.sharding.Mesh with a 'particles' axis; the
         # population axis (restarts / CMA chains) is sharded across it and
         # the best-of-population argmax becomes an XLA collective
         self.mesh = mesh
+        self.constraints = constraints
         self.encoding = encoding
         dim = encoding.dim
         all_real = bool(np.all(encoding.is_real))
@@ -450,25 +526,26 @@ class AcquisitionArgmax:
             x0 = shard(seed_pool(jax.random.uniform(key, (self.n_restart, dim), dtype)))
             u, val = _bfgs_argmax(
                 key, state, config, self.encoding, acq_name, params, minimize,
-                x0, fixed_mask, fixed_vals, self.max_iter,
+                x0, fixed_mask, fixed_vals, self.max_iter, self.constraints,
             )
         elif self.method == "MIES":
             u, val = _mies_argmax(
                 key, state, config, self.encoding, acq_name, params, minimize,
                 fixed_mask, fixed_vals, self._spec,
-                self.n_mies_restarts, self.n_mies_generations,
+                self.n_mies_restarts, self.n_mies_generations, self.constraints,
             )
         elif self.method == "SMC":
             x0 = shard(seed_pool(jax.random.uniform(key, (self.n_chains, dim), dtype)))
             u, val = _smc_argmax(
                 key, state, config, self.encoding, acq_name, params, minimize,
                 x0, fixed_mask, fixed_vals, self.n_smc_rounds, self.n_smc_moves,
+                self.constraints,
             )
         else:
             x0 = shard(seed_pool(jax.random.uniform(key, (self.n_chains, dim), dtype)))
             u, val = _cma_argmax(
                 key, state, config, self.encoding, acq_name, params, minimize,
-                x0, fixed_mask, fixed_vals, self.n_generations,
+                x0, fixed_mask, fixed_vals, self.n_generations, self.constraints,
             )
         u = np.asarray(self.encoding.quantize_unit(u)).clip(0.0, 1.0)
         return u, float(val)
@@ -525,19 +602,20 @@ class AcquisitionArgmax:
             x0 = seed_pool(jax.random.uniform(key, (q, self.n_restart, dim), dtype))
             us, vals = _bfgs_argmax_batch(
                 key, state, config, self.encoding, acq_name, params_batch, minimize,
-                x0, fixed_mask, fixed_vals, self.max_iter,
+                x0, fixed_mask, fixed_vals, self.max_iter, self.constraints,
             )
         elif self.method == "SMC":
             x0 = seed_pool(jax.random.uniform(key, (q, self.n_chains, dim), dtype))
             us, vals = _smc_argmax_batch(
                 key, state, config, self.encoding, acq_name, params_batch, minimize,
                 x0, fixed_mask, fixed_vals, self.n_smc_rounds, self.n_smc_moves,
+                self.constraints,
             )
         else:
             x0 = seed_pool(jax.random.uniform(key, (q, self.n_chains, dim), dtype))
             us, vals = _cma_argmax_batch(
                 key, state, config, self.encoding, acq_name, params_batch, minimize,
-                x0, fixed_mask, fixed_vals, self.n_generations,
+                x0, fixed_mask, fixed_vals, self.n_generations, self.constraints,
             )
         us = np.asarray(self.encoding.quantize_unit(us)).clip(0.0, 1.0)
         return [us[i] for i in range(q)], [float(v) for v in np.asarray(vals)]

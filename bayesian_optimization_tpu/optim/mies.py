@@ -114,9 +114,11 @@ def run_mies(
     lam: int = 10,
     elitism: bool = False,
     dtype=jnp.float32,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Minimize `fun` over the unit cube with R parallel (mu, lambda)-MIES
-    runs; returns (x_best[dim], f_best)."""
+    runs; returns (x_best[dim], f_best, final_x[R*mu, dim], final_f[R*mu])
+    — the flattened final parent populations let callers apply the
+    reference's per-winner feasibility preference (optim/__init__.py:124-126)."""
     state = init_mies(key, spec, n_restarts, mu, dtype, fun=fun)
 
     def body(st, _):
@@ -125,8 +127,9 @@ def run_mies(
 
     state, _ = jax.lax.scan(body, state, None, length=n_generations)
     flat_f = state.f.reshape(-1)
+    flat_x = state.x.reshape(-1, state.x.shape[-1])
     best = jnp.argmin(flat_f)
-    return state.x.reshape(-1, state.x.shape[-1])[best], flat_f[best]
+    return flat_x[best], flat_f[best], flat_x, flat_f
 
 
 class MIES:

@@ -168,6 +168,60 @@ class SpaceEncoding:
             E[..., off:off + width] = np.eye(width)[idx]
         return E
 
+    def unit_to_raw(self, U: jnp.ndarray) -> jnp.ndarray:
+        """Unit batch [N, dim] -> RAW numeric values f32[N, dim] (jittable).
+
+        The in-program mirror of `decode_unit` for numeric variables: reals
+        go through the inverse scale transform (no precision rounding —
+        penalty-guided constraint evaluation does not need it), integers are
+        `lo + level*step`, bools are 0/1, and numeric ordinal/discrete levels
+        gather from a value table. Columns whose raw values are NOT numeric
+        (strings, subsets) decode to NaN — `ConstraintProgram` validates the
+        traced path against the host decoder and falls back to a host
+        callback when a constraint touches such a column."""
+        U = jnp.asarray(U, self.dtype)
+        levels = self.unit_levels(U)
+        cols = []
+        for j, var in enumerate(self.space.data):
+            if isinstance(var, Real):
+                lo, hi = float(self.lo_t[j]), float(self.hi_t[j])
+                t = lo + (hi - lo) * jnp.clip(U[..., j], 0.0, 1.0)
+                scale = var._scale
+                if scale == "linear":
+                    x = t
+                elif scale == "log":
+                    x = jnp.exp(t)
+                elif scale == "log10":
+                    x = jnp.power(10.0, t)
+                elif scale == "logit":
+                    x = jax.nn.sigmoid(t)
+                elif scale == "bilog":
+                    x = jnp.sign(t) * jnp.expm1(jnp.abs(t))
+                else:  # pragma: no cover - SCALE_TRANSFORMS is closed
+                    x = t
+                cols.append(x)
+            elif isinstance(var, Integer):
+                lev = levels[..., j].astype(self.dtype)
+                cols.append(float(var.bounds[0]) + lev * float(var.step))
+            elif isinstance(var, Bool):
+                cols.append(levels[..., j].astype(self.dtype))
+            else:
+                vals = []
+                numeric = True
+                for k in range(int(self.n_levels[j])):
+                    v = var.value_of(k)
+                    if isinstance(v, (bool, int, float, np.integer, np.floating)):
+                        vals.append(float(v))
+                    else:
+                        numeric = False
+                        break
+                if numeric:
+                    table = jnp.asarray(vals, self.dtype)
+                    cols.append(table[levels[..., j]])
+                else:
+                    cols.append(jnp.full(U.shape[:-1], jnp.nan, self.dtype))
+        return jnp.stack(cols, axis=-1)
+
     def sample_unit(self, key: jax.Array, n: int, method: str = "uniform") -> jnp.ndarray:
         """Jittable sampler on the unit cube: 'uniform' or 'lhs'."""
         if method == "uniform":

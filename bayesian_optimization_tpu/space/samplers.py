@@ -94,9 +94,16 @@ class SCMC:
             except Exception:  # noqa: BLE001 - any failure => per-point loop
                 self.vector_constraints = False
 
-        if self.vector_constraints:
-            return batch(X)
-        return np.array([one(x) for x in X])
+        try:
+            if self.vector_constraints:
+                return batch(X)
+            return np.array([one(x) for x in X])
+        except Exception as e:  # noqa: BLE001 - user constraint crashed
+            from ..utils.exceptions import ConstraintEvaluationError
+
+            raise ConstraintEvaluationError(
+                f"constraint evaluation failed during SCMC sampling: {e}"
+            ) from None
 
     def _log_posterior(self, X: np.ndarray, nu: float) -> np.ndarray:
         C = self._constraint_values(X)

@@ -77,7 +77,7 @@ def test_run_mies_mixed_unit():
             + jnp.abs(lev[:, 4] - 1.0)
         )
 
-    xb, fb = run_mies(jax.random.PRNGKey(0), fun, spec, n_restarts=8, n_generations=60)
+    xb, fb, _, _ = run_mies(jax.random.PRNGKey(0), fun, spec, n_restarts=8, n_generations=60)
     assert float(fb) < 0.05, float(fb)
     lev = np.asarray(enc.unit_levels(xb[None, :]))[0]
     assert lev[1] == 5 and lev[2] == 1 and lev[3] == 1 and lev[4] == 1
