@@ -24,7 +24,7 @@ TPU-first design:
 from __future__ import annotations
 
 import os as _os
-from functools import partial
+from functools import partial, wraps
 from typing import Optional, Union
 
 import jax
@@ -170,31 +170,53 @@ def _ensemble_posterior(pars, logp, X, Y, F, mask, n, noise_var, beta0, config):
     return -jnp.mean(jax.vmap(logp)(pars)), states
 
 
-@partial(jax.jit, static_argnames=("config", "n_ensemble", "n_warmup", "sampler"))
-def _fit_kernel_hmc(key, x0_batch, lo, hi, X, Y, F, mask, n, noise_var, beta0, config, n_ensemble, n_warmup, sampler="hmc"):
+@partial(jax.jit, static_argnames=("config", "n_ensemble", "n_warmup", "sampler", "n_warmup2"))
+def _fit_kernel_hmc(
+    key, x0_batch, lo, hi, X, Y, F, mask, n, noise_var, beta0, config,
+    n_ensemble, n_warmup, sampler="hmc", warm_stage=None, carry=None, n_warmup2=None,
+):
     """Posterior over hyperparameters by vectorized adaptive HMC or NUTS
     (north star): chains = rows of x0_batch; returns a stacked
-    PosteriorState of n_ensemble samples plus the chain acceptance rate."""
+    PosteriorState of n_ensemble samples plus the chain acceptance rate and
+    the adapted (inv_mass, step_size) for carrying across BO refits.
+
+    warm_stage: optional (Xs, Ys, Fs, masks, ns) data SUBSET — phase-1
+    adaptation runs on its likelihood (an n/4 subset makes each warmup
+    Cholesky ~64x cheaper; the multi-fidelity trick of the MLE ladder
+    applied to the sampler). carry: optional (inv_mass, step_size) from the
+    previous refit — skips phase 1 entirely."""
     from .hmc import hmc_sample, nuts_sample
 
     logp = lambda p: -neg_log_likelihood(
         p, X, Y, F, mask, n, noise_var, beta0, config, prior_lo=lo, prior_hi=hi
     )
+    warm_logp = None
+    if warm_stage is not None:
+        Xs, Ys, Fs, masks, ns = warm_stage
+        warm_logp = lambda p: -neg_log_likelihood(
+            p, Xs, Ys, Fs, masks, ns, noise_var, beta0, config, prior_lo=lo, prior_hi=hi
+        )
+    init_inv_mass = carry[0] if carry is not None else None
+    init_step = carry[1] if carry is not None else None
     C = x0_batch.shape[0]
     per_chain = max(1, -(-n_ensemble // C))
     if sampler == "nuts":
         res = nuts_sample(
             key, logp, x0_batch, lo, hi,
             n_warmup=n_warmup, n_samples=per_chain, max_depth=6, thin=2,
+            warmup_log_prob_fn=warm_logp, init_inv_mass=init_inv_mass,
+            init_step_size=init_step, n_warmup2=n_warmup2,
         )
     else:
         res = hmc_sample(
             key, logp, x0_batch, lo, hi,
             n_warmup=n_warmup, n_samples=per_chain, n_leapfrog=12, thin=2,
+            warmup_log_prob_fn=warm_logp, init_inv_mass=init_inv_mass,
+            init_step_size=init_step, n_warmup2=n_warmup2,
         )
     pars = res.samples.reshape(-1, x0_batch.shape[1])[:n_ensemble]  # (S, d)
     nll, states = _ensemble_posterior(pars, logp, X, Y, F, mask, n, noise_var, beta0, config)
-    return pars, nll, states, res.accept_rate
+    return pars, nll, states, res.accept_rate, res.inv_mass, res.step_size, res.samples
 
 
 @partial(jax.jit, static_argnames=("config", "n_ensemble", "n_steps"))
@@ -241,6 +263,21 @@ def _fit_kernel_cma(key, x0_batch, lo, hi, X, Y, F, mask, n, noise_var, beta0, c
 @partial(jax.jit, static_argnames=("config", "eval_mse"))
 def _predict_kernel(state, Xq, Fq, config, eval_mse):
     return _predict_impl(state, Xq, Fq, config, eval_mse)
+
+
+def _x64(fn):
+    """Scope jax's x64 mode around a host-facing method when the model's
+    dtype is float64 (without it, device_put/tracing silently canonicalize
+    f64 arrays down to f32)."""
+
+    @wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        if self.dtype == jnp.float64:
+            with jax.enable_x64():
+                return fn(self, *args, **kwargs)
+        return fn(self, *args, **kwargs)
+
+    return wrapper
 
 
 class GaussianProcess:
@@ -301,6 +338,16 @@ class GaussianProcess:
         self.multi_fidelity = bool(multi_fidelity)
         self.theta_prior_strength = float(theta_prior_strength)
         self.verbose = verbose
+        if isinstance(dtype, str):
+            dtype = {
+                "f32": jnp.float32, "float32": jnp.float32,
+                "f64": jnp.float64, "float64": jnp.float64,
+            }[dtype]
+        # f64 runs the likelihood/posterior stack at reference-grade
+        # precision (ref: the f64 numpy/LAPACK MLE of gpr.py:790-811,
+        # 920-1040) through the pure-XLA linalg path (ops/linalg gates the
+        # f32 Pallas kernels off); fit/predict scope jax's x64 mode so the
+        # rest of the process stays canonical f32
         self.dtype = dtype
         self._rng = np.random.default_rng(
             random_state if isinstance(random_state, (int, np.integer)) else None
@@ -395,6 +442,72 @@ class GaussianProcess:
             noise_var = max(noise_var, 1e-8) * 10.0
         return noise_var, config, bounds, starts
 
+    def _data_subset_stage(self, Xp, Yp, n, n_pad):
+        """Device-resident (Xs, Ys, Fs, ones, ns) likelihood stage on a
+        random ~n/4 subset (128-multiple): the multi-fidelity trick shared
+        by the MLE ladder and the sampler's phase-1 warmup."""
+        cap = max(128, (n // 128) * 128)
+        ns = min(n_pad // 4, cap)
+        idx = self._rng.choice(n, size=ns, replace=False)
+        Xs, Ys = jax.device_put(
+            (Xp[idx].astype(self.dtype), Yp[idx].astype(self.dtype))
+        )
+        if not hasattr(self, "_const_cache"):
+            self._const_cache = {}
+        if ns not in self._const_cache:
+            self._const_cache[ns] = (
+                jnp.ones(ns, self.dtype),
+                jnp.asarray(float(ns), self.dtype),
+            )
+        ones_ns, ns_j = self._const_cache[ns]
+        return (Xs, Ys, self._trend_F(Xs), ones_ns, ns_j)
+
+    def _run_mle_ladder(
+        self, starts, lo_b, hi_b, data_host, data_dev, n, n_pad, nv_j, beta0, config,
+        iters_scale: float = 1.0,
+    ):
+        """Multi-fidelity MLE: a successive-halving ladder over data subsets
+        replaces the reference's flat multi-restart budget (gpr.py:1058-1197).
+        Each halving of the subset makes the Cholesky 8x cheaper, so wide
+        exploration is nearly free and only the best basins ever touch the
+        full data. The whole ladder is ONE jitted program (_ladder_kernel).
+        iters_scale < 1 runs a shortened ladder (e.g. to seed sampler chains
+        at the MAP)."""
+        Xp, Yp = data_host
+        Xj, Yj, Fj, maskj, n_j = data_dev
+        max_iter = max(4, int(self.max_iter * iters_scale))
+        rungs, (n_final, iters_b) = _mle_ladder_plan(
+            n, n_pad, len(starts), max_iter, self.multi_fidelity
+        )
+        # rung subsets ship in ONE batched device_put; the per-size
+        # constants (all-ones mask, count scalar) are cached across
+        # refits, so a warm fit's rung uploads are one RPC batch
+        idxs = [self._rng.choice(n, size=ns, replace=False) for ns, _, _ in rungs]
+        subsets = jax.device_put(tuple(
+            (Xp[idx].astype(self.dtype), Yp[idx].astype(self.dtype))
+            for idx in idxs
+        ))
+        if not hasattr(self, "_const_cache"):
+            self._const_cache = {}
+        stages = []
+        plan = []
+        for (Xs, Ys), (ns, n_in, iters) in zip(subsets, rungs):
+            if ns not in self._const_cache:
+                self._const_cache[ns] = (
+                    jnp.ones(ns, self.dtype),
+                    jnp.asarray(float(ns), self.dtype),
+                )
+            ones_ns, ns_j = self._const_cache[ns]
+            stages.append((Xs, Ys, self._trend_F(Xs), ones_ns, ns_j))
+            plan.append((n_in, iters))
+        stages.append((Xj, Yj, Fj, maskj, n_j))
+        plan.append((n_final, iters_b))
+        return _ladder_kernel(
+            jnp.asarray(starts, self.dtype), lo_b, hi_b, tuple(stages),
+            nv_j, beta0, config, tuple(plan), self.max_linesearch_steps,
+        )
+
+    @_x64
     def fit(self, X, y) -> "GaussianProcess":
         from .. import _ensure_cache_safe_for_backend
 
@@ -495,13 +608,69 @@ class GaussianProcess:
                     )
                     self.vi_params_ = tuple(np.asarray(p) for p in vi_params)
                 else:
-                    par_s, nll, state, acc = _fit_kernel_hmc(
-                        key, jnp.asarray(starts[: max(4, min(R, 8))], self.dtype),
+                    C = max(4, min(R, 8))
+                    n_par = bounds.shape[0]
+                    n_warm = int(getattr(self, "hmc_warmup", 64))
+                    # chain seeds at n >= 512: jittered around the MAP
+                    # instead of raw restarts (round-5 verdict item 3) —
+                    # warm refits reuse the previous MAP, cold fits run a
+                    # half-length MLE ladder first (~1 ladder vs the many
+                    # full-data warmup transitions it saves). Small fits
+                    # keep the dispersed raw restarts (warmup is cheap
+                    # there and wider starts explore more of the posterior).
+                    if n >= 512:
+                        map_par = getattr(self, "_map_par_log10", None)
+                        if map_par is None or len(map_par) != n_par:
+                            map_j, _, _ = self._run_mle_ladder(
+                                starts, lo_b, hi_b, (Xp, Yp),
+                                (Xj, Yj, Fj, maskj, n_j),
+                                n, n_pad, nv_j, beta0, config, iters_scale=0.5,
+                            )
+                            map_par = np.asarray(map_j, dtype=float)
+                        width = bounds[:, 1] - bounds[:, 0]
+                        chain0 = np.clip(
+                            map_par[None, :]
+                            + 0.1 * width[None, :] * self._rng.standard_normal((C, n_par)),
+                            bounds[:, 0], bounds[:, 1],
+                        )
+                    else:
+                        chain0 = starts[:C]
+                    # phase-1 warmup on an n/4 subset (64x cheaper Cholesky);
+                    # carried (inv_mass, step) from the previous refit skips
+                    # phase 1 entirely and shortens phase 2
+                    warm_stage = (
+                        self._data_subset_stage(Xp, Yp, n, n_pad) if n >= 512 else None
+                    )
+                    carry = getattr(self, "_sampler_carry", None)
+                    if carry is not None and (
+                        carry[0].shape != (C, n_par) or carry[2] != (self.optimizer, n_pad)
+                    ):
+                        carry = None
+                    if carry is not None:
+                        carry_j = (
+                            jnp.asarray(carry[0], self.dtype),
+                            jnp.asarray(carry[1], self.dtype),
+                        )
+                        n_w2 = max(8, n_warm // 4)
+                    else:
+                        carry_j = None
+                        n_w2 = max(8, n_warm // 4) if warm_stage is not None else None
+                    par_s, nll, state, acc, inv_mass, step, chains = _fit_kernel_hmc(
+                        key, jnp.asarray(chain0, self.dtype),
                         lo_b, hi_b, Xj, Yj, Fj, maskj, n_j, nv_j,
-                        beta0, config, S, getattr(self, "hmc_warmup", 150),
+                        beta0, config, S, n_warm,
                         "nuts" if self.optimizer == "NUTS" else "hmc",
+                        warm_stage, carry_j, n_w2,
                     )
                     self.accept_rate_ = np.asarray(acc, dtype=float)
+                    # (draws, chains, d) box-coordinate draws for ESS
+                    # diagnostics (models/hmc.effective_sample_size)
+                    self.sample_chains_ = np.asarray(chains, dtype=float)
+                    self._sampler_carry = (
+                        np.asarray(inv_mass, dtype=float),
+                        np.asarray(step, dtype=float),
+                        (self.optimizer, n_pad),
+                    )
                 self.theta_samples_ = np.asarray(10.0 ** np.asarray(par_s)[:, :dim])
                 par = jnp.median(par_s, axis=0)
                 config = config._replace(n_ensemble=S)
@@ -540,41 +709,9 @@ class GaussianProcess:
                             dim, y, noise_var, config, bounds, starts, R
                         )
                         continue
-                # Multi-fidelity MLE: a successive-halving ladder over data
-                # subsets replaces the reference's flat multi-restart budget
-                # (gpr.py:1058-1197). Each halving of the subset makes the
-                # Cholesky 8x cheaper, so wide exploration is nearly free
-                # and only the best basins ever touch the full data. The
-                # whole ladder is ONE jitted program (_ladder_kernel).
-                rungs, (n_final, iters_b) = _mle_ladder_plan(
-                    n, n_pad, len(starts), self.max_iter, self.multi_fidelity
-                )
-                # rung subsets ship in ONE batched device_put; the per-size
-                # constants (all-ones mask, count scalar) are cached across
-                # refits, so a warm fit's rung uploads are one RPC batch
-                idxs = [self._rng.choice(n, size=ns, replace=False) for ns, _, _ in rungs]
-                subsets = jax.device_put(tuple(
-                    (Xp[idx].astype(self.dtype), Yp[idx].astype(self.dtype))
-                    for idx in idxs
-                ))
-                if not hasattr(self, "_const_cache"):
-                    self._const_cache = {}
-                stages = []
-                plan = []
-                for (Xs, Ys), (ns, n_in, iters) in zip(subsets, rungs):
-                    if ns not in self._const_cache:
-                        self._const_cache[ns] = (
-                            jnp.ones(ns, self.dtype),
-                            jnp.asarray(float(ns), self.dtype),
-                        )
-                    ones_ns, ns_j = self._const_cache[ns]
-                    stages.append((Xs, Ys, self._trend_F(Xs), ones_ns, ns_j))
-                    plan.append((n_in, iters))
-                stages.append((Xj, Yj, Fj, maskj, n_j))
-                plan.append((n_final, iters_b))
-                par, nll, state = _ladder_kernel(
-                    jnp.asarray(starts, self.dtype), lo_b, hi_b, tuple(stages),
-                    nv_j, beta0, config, tuple(plan), self.max_linesearch_steps,
+                par, nll, state = self._run_mle_ladder(
+                    starts, lo_b, hi_b, (Xp, Yp), (Xj, Yj, Fj, maskj, n_j),
+                    n, n_pad, nv_j, beta0, config,
                 )
             ok_h, theta_h, nll_h, s2_h, beta_h = jax.device_get(
                 _fit_summary(par, nll, state)
@@ -588,7 +725,11 @@ class GaussianProcess:
 
         self._state = state
         self._config_cache = config
-        self.theta_ = np.asarray(theta_h, dtype=float).reshape(-1)[:dim]
+        full_par = np.asarray(theta_h, dtype=float).reshape(-1)
+        # log10 MAP (or posterior-median) parameter vector: seeds the next
+        # refit's sampler chains (round-5 verdict item 3)
+        self._map_par_log10 = np.log10(np.maximum(full_par, 1e-300))
+        self.theta_ = full_par[:dim]
         self.log_likelihood_ = -float(nll_h)
         self.sigma2 = np.asarray(s2_h, dtype=float)
         if (
@@ -703,6 +844,7 @@ class GaussianProcess:
             mu = mu + jnp.asarray(prior, self.dtype)
         return mu, (mse[:nq] if mse is not None else None)
 
+    @_x64
     def predict(self, X, eval_MSE: bool = False):
         """BLUP mean (and MSE) at X: (n_eval, n_targets), squeezed to
         (n_eval,) for single-target models (ref parity: gpr.py:424-535)."""
@@ -722,6 +864,7 @@ class GaussianProcess:
             return mu, mse
         return mu
 
+    @_x64
     def gradient(self, x):
         """Gradients of posterior mean and variance at a single point
         (ref parity: gpr.py:537-576); computed by autodiff."""
@@ -742,6 +885,7 @@ class GaussianProcess:
         dmse = np.asarray(jax.grad(mse_fn)(x), dtype=float).reshape(-1, 1)
         return dmu, dmse
 
+    @_x64
     def Hessian(self, x, of: str = "mean"):
         """Hessian matrix (dim, dim) of the posterior mean — or, with
         of="mse", of the posterior variance — at a single point

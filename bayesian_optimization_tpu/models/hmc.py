@@ -32,6 +32,43 @@ class HMCResult(NamedTuple):
     accept_rate: jnp.ndarray   # (n_chains,)
     step_size: jnp.ndarray     # (n_chains,)
     log_prob: jnp.ndarray      # (n_samples, n_chains)
+    inv_mass: jnp.ndarray      # (n_chains, d) adapted diagonal inverse mass
+
+
+def effective_sample_size(samples) -> "np.ndarray":
+    """Per-dimension multi-chain ESS (Geyer initial-positive-sequence
+    estimator over the chain-mean autocorrelation), host-side numpy.
+
+    samples: (S, C, d) array of draws. Returns (d,) ESS estimates. The
+    reference has no sampler so no counterpart exists; this is the standard
+    diagnostic the round-5 verdict asked `bench.py --nuts` to report."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=float)
+    S, C, d = x.shape
+    if S < 4:
+        return np.full(d, float(S * C))
+    x = x - x.mean(axis=0, keepdims=True)  # demean per chain
+    ess = np.empty(d)
+    nfft = int(2 ** np.ceil(np.log2(2 * S)))
+    for j in range(d):
+        f = np.fft.rfft(x[:, :, j], n=nfft, axis=0)
+        acov = np.fft.irfft(f * np.conj(f), n=nfft, axis=0)[:S].real
+        acov /= np.arange(S, 0, -1)[:, None]
+        var0 = acov[0].mean()
+        if var0 <= 0:
+            ess[j] = float(S * C)
+            continue
+        rho = acov.mean(axis=1) / var0  # chain-averaged autocorrelation
+        # Geyer: sum consecutive pairs while they stay positive
+        tau = 1.0
+        for t in range(1, S - 1, 2):
+            pair = rho[t] + rho[t + 1]
+            if pair < 0:
+                break
+            tau += 2.0 * pair
+        ess[j] = S * C / max(tau, 1.0)
+    return ess
 
 
 def _to_box(z, lo, hi):
@@ -65,11 +102,18 @@ def hmc_sample(
     n_leapfrog: int = 16,
     target_accept: float = 0.8,
     thin: int = 1,
+    warmup_log_prob_fn: Callable[[jnp.ndarray], jnp.ndarray] = None,
+    init_inv_mass: jnp.ndarray = None,
+    init_step_size: jnp.ndarray = None,
+    n_warmup2: int = None,
 ) -> HMCResult:
     """Sample box-constrained parameters with C parallel chains.
 
     log_prob_fn maps a single (d,) box-coordinate vector to a scalar log
     density; it is vmapped internally. x0: (C, d) initial chain states.
+    warmup_log_prob_fn / init_inv_mass / init_step_size / n_warmup2 are the
+    same cost levers as in `nuts_sample` (subset-target phase-1 warmup and
+    carried adaptation state); without them the behavior is unchanged.
     """
     C, d = x0.shape
     dtype = x0.dtype
@@ -83,11 +127,23 @@ def hmc_sample(
     logp_batch = jax.vmap(logp_z)
     grad_batch = jax.vmap(jax.grad(logp_z))
 
+    if warmup_log_prob_fn is not None:
+        def logp_z_warm(z):
+            x = _to_box(z, lo, hi)
+            return warmup_log_prob_fn(x) + _log_jac(z, lo, hi)
+
+        logp_batch_warm = jax.vmap(logp_z_warm)
+        grad_batch_warm = jax.vmap(jax.grad(logp_z_warm))
+    else:
+        logp_batch_warm, grad_batch_warm = logp_batch, grad_batch
+
     frac = jnp.clip((x0 - lo) / jnp.maximum(hi - lo, 1e-30), 1e-4, 1 - 1e-4)
     z0 = jnp.log(frac) - jnp.log1p(-frac)
 
     # dual-averaging state (per chain): Hoffman-Gelman constants
-    eps0 = jnp.full((C,), 0.05, dtype)
+    eps0 = jnp.full((C,), 0.05, dtype) if init_step_size is None else jnp.broadcast_to(
+        jnp.asarray(init_step_size, dtype), (C,)
+    )
     mu_da = jnp.log(10.0 * eps0)
     gamma, t0, kappa = 0.05, 10.0, 0.75
 
@@ -104,14 +160,15 @@ def hmc_sample(
         inv_mass: jnp.ndarray
         n_accept: jnp.ndarray
 
-    def one_transition(c: Carry, it, adapt: bool):
+    def one_transition(c: Carry, it, adapt: bool, warm_target: bool = False):
+        lp_b, g_b = (logp_batch_warm, grad_batch_warm) if warm_target else (logp_batch, grad_batch)
         k1, k2, k3, key = jax.random.split(c.key, 4)
         eps = jnp.exp(c.log_eps)
         p0 = jax.random.normal(k1, (C, d), dtype) / jnp.sqrt(c.inv_mass)
         # jitter trajectory length in [ceil(L/2), L]
         L = jax.random.randint(k2, (), n_leapfrog // 2 + 1, n_leapfrog + 1)
-        z_new, p_new = _leapfrog(c.z, p0, eps, L, grad_batch, c.inv_mass)
-        logp_new = logp_batch(z_new)
+        z_new, p_new = _leapfrog(c.z, p0, eps, L, g_b, c.inv_mass)
+        logp_new = lp_b(z_new)
         ke0 = 0.5 * jnp.sum(c.inv_mass * p0 * p0, axis=-1)
         ke1 = 0.5 * jnp.sum(c.inv_mass * p_new * p_new, axis=-1)
         log_alpha = jnp.minimum(0.0, (logp_new - ke1) - (c.logp - ke0))
@@ -143,24 +200,51 @@ def hmc_sample(
             n_accept=c.n_accept + accept.astype(dtype),
         )
 
-    init = Carry(
-        z=z0, logp=logp_batch(z0), key=key,
-        log_eps=jnp.log(eps0), log_eps_bar=jnp.log(eps0),
-        h_bar=jnp.zeros((C,), dtype),
-        m1=jnp.zeros((C, d), dtype), m2=jnp.ones((C, d), dtype),
-        count=jnp.zeros((C,), dtype), inv_mass=jnp.ones((C, d), dtype),
-        n_accept=jnp.zeros((C,), dtype),
-    )
-
-    warm = jax.lax.fori_loop(
-        0, n_warmup, lambda i, c: one_transition(c, jnp.asarray(i, dtype), True), init
-    )
-    # freeze adapted quantities
-    var = warm.m2 / jnp.maximum(warm.count[:, None] - 1.0, 1.0)
-    inv_mass = jnp.clip(var, 1e-4, 1e4)
-    sampling_init = warm._replace(
-        log_eps=warm.log_eps_bar, inv_mass=inv_mass, n_accept=jnp.zeros((C,), dtype)
-    )
+    fast_path = warmup_log_prob_fn is None and init_inv_mass is None and n_warmup2 is None
+    if init_inv_mass is not None:
+        inv_mass = jnp.broadcast_to(jnp.asarray(init_inv_mass, dtype), (C, d))
+        warm = Carry(
+            z=z0, logp=logp_batch(z0), key=key,
+            log_eps=jnp.log(eps0), log_eps_bar=jnp.log(eps0),
+            h_bar=jnp.zeros((C,), dtype),
+            m1=jnp.zeros((C, d), dtype), m2=jnp.ones((C, d), dtype),
+            count=jnp.zeros((C,), dtype), inv_mass=inv_mass,
+            n_accept=jnp.zeros((C,), dtype),
+        )
+    else:
+        init = Carry(
+            z=z0, logp=logp_batch_warm(z0), key=key,
+            log_eps=jnp.log(eps0), log_eps_bar=jnp.log(eps0),
+            h_bar=jnp.zeros((C,), dtype),
+            m1=jnp.zeros((C, d), dtype), m2=jnp.ones((C, d), dtype),
+            count=jnp.zeros((C,), dtype), inv_mass=jnp.ones((C, d), dtype),
+            n_accept=jnp.zeros((C,), dtype),
+        )
+        warm = jax.lax.fori_loop(
+            0, n_warmup,
+            lambda i, c: one_transition(c, jnp.asarray(i, dtype), True, True), init,
+        )
+        # freeze adapted quantities
+        var = warm.m2 / jnp.maximum(warm.count[:, None] - 1.0, 1.0)
+        inv_mass = jnp.clip(var, 1e-4, 1e4)
+        warm = warm._replace(inv_mass=inv_mass)
+    if fast_path:
+        sampling_init = warm._replace(
+            log_eps=warm.log_eps_bar, n_accept=jnp.zeros((C,), dtype)
+        )
+    else:
+        # re-score on the true target and re-adapt eps under the frozen mass
+        warm2_init = warm._replace(
+            logp=logp_batch(warm.z), h_bar=jnp.zeros((C,), dtype),
+            log_eps=warm.log_eps_bar, log_eps_bar=warm.log_eps_bar,
+        )
+        warm2 = jax.lax.fori_loop(
+            0, n_warmup2 if n_warmup2 is not None else max(1, n_warmup // 2),
+            lambda i, c: one_transition(c, jnp.asarray(i, dtype), True), warm2_init,
+        )
+        sampling_init = warm2._replace(
+            log_eps=warm2.log_eps_bar, n_accept=jnp.zeros((C,), dtype)
+        )
 
     def sample_step(c, _):
         c = one_transition(c, jnp.asarray(0.0, dtype), False)
@@ -175,6 +259,7 @@ def hmc_sample(
         accept_rate=final.n_accept / (n_samples * thin),
         step_size=jnp.exp(final.log_eps),
         log_prob=logps,
+        inv_mass=final.inv_mass,
     )
 
 
@@ -245,6 +330,8 @@ class NUTSResult(NamedTuple):
     step_size: jnp.ndarray    # (n_chains,)
     log_prob: jnp.ndarray     # (n_samples, n_chains)
     mean_depth: jnp.ndarray   # (n_chains,) average tree depth
+    inv_mass: jnp.ndarray     # (n_chains, d) adapted diagonal inverse mass
+                              # (carry into the next BO refit's sampler)
 
 
 def _uturn(dz, p_a, p_b, inv_mass):
@@ -415,11 +502,25 @@ def nuts_sample(
     max_depth: int = 6,
     target_accept: float = 0.8,
     thin: int = 1,
+    warmup_log_prob_fn: Callable[[jnp.ndarray], jnp.ndarray] = None,
+    init_inv_mass: jnp.ndarray = None,
+    init_step_size: jnp.ndarray = None,
+    n_warmup2: int = None,
 ) -> NUTSResult:
     """No-U-Turn sampling of box-constrained parameters with C vmapped
     chains; same reparameterization / dual-averaging / diagonal-mass warmup
     as `hmc_sample`, but trajectory lengths are dynamic (U-turn-terminated,
-    capped at 2^max_depth leapfrogs per transition)."""
+    capped at 2^max_depth leapfrogs per transition).
+
+    Cost levers (round-5: make the posterior path affordable):
+    - warmup_log_prob_fn: a CHEAP surrogate target (e.g. the GP likelihood
+      on a data subset — an n/4 subset makes each warmup Cholesky ~64x
+      cheaper) used for phase-1 adaptation only; phase 2 re-adapts the step
+      size on the true target under the frozen mass.
+    - init_inv_mass / init_step_size: carry the adapted state from the
+      previous BO refit; phase 1 is skipped entirely and phase 2 just
+      re-tunes the step size (n_warmup2 transitions, default n_warmup//2).
+    """
     C, d = x0.shape
     dtype = x0.dtype
     lo = jnp.asarray(lo, dtype)
@@ -432,10 +533,21 @@ def nuts_sample(
     grad_z = jax.grad(logp_z)
     logp_batch = jax.vmap(logp_z)
 
+    if warmup_log_prob_fn is not None:
+        def logp_z_warm(z):
+            x = _to_box(z, lo, hi)
+            return warmup_log_prob_fn(x) + _log_jac(z, lo, hi)
+    else:
+        logp_z_warm = logp_z
+    grad_z_warm = jax.grad(logp_z_warm)
+    logp_batch_warm = jax.vmap(logp_z_warm)
+
     frac = jnp.clip((x0 - lo) / jnp.maximum(hi - lo, 1e-30), 1e-4, 1 - 1e-4)
     z0 = jnp.log(frac) - jnp.log1p(-frac)
 
-    eps0 = jnp.full((C,), 0.05, dtype)
+    eps0 = jnp.full((C,), 0.05, dtype) if init_step_size is None else jnp.broadcast_to(
+        jnp.asarray(init_step_size, dtype), (C,)
+    )
     mu_da = jnp.log(10.0 * eps0)
     gamma, t0, kappa = 0.05, 10.0, 0.75
 
@@ -458,11 +570,12 @@ def nuts_sample(
         sum_depth: jnp.ndarray
         n_trans: jnp.ndarray
 
-    def one_transition(c: Carry, it, adapt: bool):
+    def one_transition(c: Carry, it, adapt: bool, warm_target: bool = False):
+        lp_fn, g_fn = (logp_z_warm, grad_z_warm) if warm_target else (logp_z, grad_z)
         key, *chain_keys = jax.random.split(c.key, C + 1)
         z, logp, alpha, depth = vmapped_transition(
             jnp.stack(chain_keys), c.z, c.logp, c.log_eps, c.inv_mass,
-            logp_z, grad_z, max_depth,
+            lp_fn, g_fn, max_depth,
         )
         if adapt:
             t = it + 1.0 + t0
@@ -485,31 +598,48 @@ def nuts_sample(
             n_trans=c.n_trans + 1.0,
         )
 
-    init = Carry(
-        z=z0, logp=logp_batch(z0), key=key,
-        log_eps=jnp.log(eps0), log_eps_bar=jnp.log(eps0),
-        h_bar=jnp.zeros((C,), dtype),
-        m1=jnp.zeros((C, d), dtype), m2=jnp.ones((C, d), dtype),
-        count=jnp.zeros((C,), dtype), inv_mass=jnp.ones((C, d), dtype),
-        sum_alpha=jnp.zeros((C,), dtype), sum_depth=jnp.zeros((C,), dtype),
-        n_trans=jnp.zeros((C,), dtype),
-    )
-
-    # phase 1: adapt eps under identity mass while collecting z variances
-    warm = jax.lax.fori_loop(
-        0, n_warmup, lambda i, c: one_transition(c, jnp.asarray(i, dtype), True), init
-    )
-    var = warm.m2 / jnp.maximum(warm.count[:, None] - 1.0, 1.0)
-    inv_mass = jnp.clip(var, 1e-4, 1e4)
-    # phase 2: the new mass changes the effective step scale, so re-run the
-    # dual averaging from scratch under the frozen mass (otherwise eps stays
-    # tuned for identity mass and the accept rate overshoots the target)
+    if init_inv_mass is not None:
+        # carried adaptation state from the previous refit: skip phase 1
+        inv_mass = jnp.broadcast_to(jnp.asarray(init_inv_mass, dtype), (C, d))
+        warm = Carry(
+            z=z0, logp=logp_batch(z0), key=key,
+            log_eps=jnp.log(eps0), log_eps_bar=jnp.log(eps0),
+            h_bar=jnp.zeros((C,), dtype),
+            m1=jnp.zeros((C, d), dtype), m2=jnp.ones((C, d), dtype),
+            count=jnp.zeros((C,), dtype), inv_mass=inv_mass,
+            sum_alpha=jnp.zeros((C,), dtype), sum_depth=jnp.zeros((C,), dtype),
+            n_trans=jnp.zeros((C,), dtype),
+        )
+    else:
+        init = Carry(
+            z=z0, logp=logp_batch_warm(z0), key=key,
+            log_eps=jnp.log(eps0), log_eps_bar=jnp.log(eps0),
+            h_bar=jnp.zeros((C,), dtype),
+            m1=jnp.zeros((C, d), dtype), m2=jnp.ones((C, d), dtype),
+            count=jnp.zeros((C,), dtype), inv_mass=jnp.ones((C, d), dtype),
+            sum_alpha=jnp.zeros((C,), dtype), sum_depth=jnp.zeros((C,), dtype),
+            n_trans=jnp.zeros((C,), dtype),
+        )
+        # phase 1: adapt eps under identity mass while collecting z
+        # variances — on the CHEAP warmup target when one is provided
+        warm = jax.lax.fori_loop(
+            0, n_warmup,
+            lambda i, c: one_transition(c, jnp.asarray(i, dtype), True, True), init,
+        )
+        var = warm.m2 / jnp.maximum(warm.count[:, None] - 1.0, 1.0)
+        inv_mass = jnp.clip(var, 1e-4, 1e4)
+        warm = warm._replace(
+            inv_mass=inv_mass, logp=logp_batch(warm.z),  # re-score on the true target
+        )
+    # phase 2: the new mass (or the new data under a carried mass) changes
+    # the effective step scale, so re-run the dual averaging from scratch
+    # under the frozen mass on the TRUE target
     warm2_init = warm._replace(
-        inv_mass=inv_mass, h_bar=jnp.zeros((C,), dtype),
+        h_bar=jnp.zeros((C,), dtype),
         log_eps=warm.log_eps_bar, log_eps_bar=warm.log_eps_bar,
     )
     warm2 = jax.lax.fori_loop(
-        0, max(1, n_warmup // 2),
+        0, n_warmup2 if n_warmup2 is not None else max(1, n_warmup // 2),
         lambda i, c: one_transition(c, jnp.asarray(i, dtype), True), warm2_init,
     )
     sampling_init = warm2._replace(
@@ -531,4 +661,5 @@ def nuts_sample(
         step_size=jnp.exp(final.log_eps),
         log_prob=logps,
         mean_depth=final.sum_depth / jnp.maximum(final.n_trans, 1.0),
+        inv_mass=final.inv_mass,
     )

@@ -354,6 +354,69 @@ def _factor_hybrid(R: jnp.ndarray, super_block: int = SUPER, interpret: bool = F
     return L, jnp.concatenate(Dinvs, axis=0), piv
 
 
+def _super_inv(L: jnp.ndarray, Dinv: jnp.ndarray, super_block: int = SUPER) -> jnp.ndarray:
+    """Explicit inverses of the SUPER-wide diagonal blocks of a blocked
+    factor (L, Dinv): (ns, S, S). 3 small GEMMs per superpanel via
+    block-nilpotent squaring — the one-off cost that turns every backward
+    triangular solve into pure GEMMs (see tri_solve_*_super)."""
+    n = L.shape[-1]
+    ns = n // super_block
+    nb = Dinv.shape[0]
+    bpb = nb // ns  # 128-blocks per superpanel
+    outs = []
+    for k in range(ns):
+        kb = k * super_block
+        Lkk = L[kb:kb + super_block, kb:kb + super_block]
+        outs.append(_block_tri_inv(Lkk, Dinv[k * bpb:(k + 1) * bpb]))
+    return jnp.stack(outs, axis=0)
+
+
+def tri_solve_lower_super(L, Dinv_super, B, super_block: int = SUPER):
+    """Solve L X = B with SUPER-wide panels: ns sequential steps of two
+    large GEMMs each (subdiagonal update + explicit-inverse apply) instead
+    of the nb~32-step chain of tri_solve_lower — the backward-pass analog
+    of the forward `_factor_hybrid` (round-5 verdict item 2)."""
+    n = L.shape[-1]
+    ns = n // super_block
+    xs = []
+    for k in range(ns):
+        kb = k * super_block
+        Bk = B[kb:kb + super_block]
+        if k > 0:
+            Xprev = jnp.concatenate(xs, axis=0)
+            Bk = Bk - L[kb:kb + super_block, :kb] @ Xprev
+        xs.append(Dinv_super[k] @ Bk)
+    return jnp.concatenate(xs, axis=0) if ns > 1 else xs[0]
+
+
+def tri_solve_upper_t_super(L, Dinv_super, B, super_block: int = SUPER):
+    """Solve L^T X = B bottom-up with SUPER-wide panels (see
+    tri_solve_lower_super)."""
+    n = L.shape[-1]
+    ns = n // super_block
+    xs = [None] * ns
+    for i in range(ns):
+        k = ns - 1 - i
+        kb = k * super_block
+        Bk = B[kb:kb + super_block]
+        if i > 0:
+            Xbelow = jnp.concatenate(xs[k + 1:], axis=0)
+            Bk = Bk - L[kb + super_block:, kb:kb + super_block].T @ Xbelow
+        xs[k] = Dinv_super[k].T @ Bk
+    return jnp.concatenate(xs, axis=0) if ns > 1 else xs[0]
+
+
+def _use_super_bwd(n: int, dtype=None) -> bool:
+    """The superpanel backward runs wherever the fused/hybrid forward runs
+    (TPU, 1024-multiples, f32): the explicit block inverses trade the
+    nb-deep solve chains for ns GEMM steps."""
+    if os.environ.get("BOTPU_NO_SUPER_BWD"):
+        return False
+    if dtype is not None and dtype == jnp.float64:
+        return False
+    return _on_tpu() and n >= SUPER and n % SUPER == 0
+
+
 def _whiten_parts(R, B):
     """Shared fwd implementation: returns (d, W, piv) + residuals (L, Dinv, W).
 
@@ -397,14 +460,24 @@ def _whiten_bwd(res, cots):
     # of the 6-pass "highest" emulation (which made this VJP 3x the cost of
     # the whole fit in round 1). Gradient parity vs f64 is asserted by
     # tests/test_linalg.py::test_whiten_value_and_grad on every backend.
+    n = L.shape[-1]
     with jax.default_matmul_precision("high"):
-        U = tri_solve_upper_t(L, Dinv, Wbar)  # L^-T Wbar
+        if _use_super_bwd(n, L.dtype):
+            # superpanel backward (round-5): the two n x n-RHS upper-T
+            # solves dominated the VJP as ~nb-deep chains of medium ops;
+            # with explicit SUPER-block inverses every solve is ns GEMM
+            # steps on the MXU
+            Dsup = _super_inv(L, Dinv)
+            solve_ut = lambda B: tri_solve_upper_t_super(L, Dsup, B)
+        else:
+            solve_ut = lambda B: tri_solve_upper_t(L, Dinv, B)
+        U = solve_ut(Wbar)  # L^-T Wbar
         Bbar = U
         Lbar = jnp.diag(dbar) - jnp.tril(U @ W.T)
         M = L.T @ Lbar
         Phi = jnp.tril(M) - 0.5 * jnp.diag(jnp.diagonal(M))
-        Y1 = tri_solve_upper_t(L, Dinv, Phi)          # L^-T Phi
-        Y2 = tri_solve_upper_t(L, Dinv, Y1.T).T       # (L^-T Phi) L^-1
+        Y1 = solve_ut(Phi)          # L^-T Phi
+        Y2 = solve_ut(Y1.T).T       # (L^-T Phi) L^-1
         Rbar = 0.5 * (Y2 + Y2.T)
     return Rbar, Bbar
 

@@ -29,8 +29,27 @@ REF_SECONDS = float(os.environ.get("BENCH_REF_SECONDS", "447.8"))
 
 N_OBS = 1000
 DIM = 5
-N_REPEATS = 3
+# >= 5 warm reps: the remote-TPU tunnel shows 4x minute-to-minute load
+# swings, so a 3-rep median was dominated by tunnel state (round-4 verdict:
+# the builder's 0.638 s median under matched load showed up as 1.04 s in
+# the driver's 3-rep protocol). More reps + reporting min alongside the
+# median makes the number reflect the code, not the tunnel.
+N_REPEATS = int(os.environ.get("BENCH_REPEATS", "7"))
 
+
+def _load_probe():
+    """Fixed-size device matmul wall-clock (seconds) — annotates tunnel/load
+    state in the output so cross-round medians can be read in context."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda a: (a @ a).sum())
+    a = jnp.ones((2048, 2048), jnp.float32)
+    f(a).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    for _ in range(3):
+        f(a).block_until_ready()
+    return round((time.perf_counter() - t0) / 3, 4)
 
 
 def _bench_data(n_obs):
@@ -44,7 +63,9 @@ def _bench_data(n_obs):
 
 
 def _measure(one_iter):
-    """Warm-up once, then report the median of N_REPEATS timed iterations."""
+    """Warm-up once, then time N_REPEATS iterations; returns a stats dict
+    (median is the headline; min shows the code's floor when the tunnel is
+    quiet; the load probe annotates tunnel state)."""
     import numpy as np
 
     _mark("setup done; warm-up iteration (cold XLA compiles)")
@@ -56,7 +77,18 @@ def _measure(one_iter):
         one_iter()
         times.append(time.perf_counter() - t0)
     _mark(f"measured {[round(t, 3) for t in times]}")
-    return float(np.median(times))
+    probe = None
+    try:
+        probe = _load_probe()
+        _mark(f"load probe {probe}s")
+    except Exception:  # noqa: BLE001 - annotation only
+        pass
+    return {
+        "median": float(np.median(times)),
+        "min": float(np.min(times)),
+        "times": [round(t, 4) for t in times],
+        "load_probe_s": probe,
+    }
 
 
 def main():
@@ -84,16 +116,20 @@ def main():
     # requests) and concurrent RPCs have repeatedly wedged the relay for
     # minutes; the plain sequential cold path is ~2 min and has been
     # stall-free across every measured run
-    value = _measure(lambda: (
+    stats = _measure(lambda: (
         gp.fit(X, y_std),
         argmax(gp.posterior, gp.config, "EI", {"plugin": float(y_std.min())}),
     ))
 
     print(json.dumps({
         "metric": "gp_fit_plus_acq_argmax_per_iter_n1000_d5",
-        "value": round(value, 4),
+        "value": round(stats["median"], 4),
         "unit": "s",
-        "vs_baseline": round(REF_SECONDS / value, 2),
+        "vs_baseline": round(REF_SECONDS / stats["median"], 2),
+        "min": round(stats["min"], 4),
+        "times": stats["times"],
+        "load_probe_s": stats["load_probe_s"],
+        "n_repeats": N_REPEATS,
     }))
 
 
@@ -123,15 +159,26 @@ def main_nuts():
     gp.n_ensemble = 8
     space = RealSpace([[0.0, 1.0]] * DIM)
     argmax = AcquisitionArgmax(space.encoding(), method="BFGS", n_restart=5 * DIM, seed=0)
-    value = _measure(lambda: (
+    stats = _measure(lambda: (
         gp.fit(X, y_std),
         argmax(gp.posterior, gp.config, "EI", {"plugin": float(y_std.min())}),
     ))
+    # sampler-quality diagnostics from the last fit (round-5 verdict item 3):
+    # accept rate per chain plus multi-chain ESS over the box draws
+    from bayesian_optimization_tpu.models.hmc import effective_sample_size
+
+    ess = effective_sample_size(gp.sample_chains_)
     print(json.dumps({
         "metric": "nuts_gp_fit_plus_acq_argmax_per_iter_n1000_d5",
-        "value": round(value, 4),
+        "value": round(stats["median"], 4),
         "unit": "s",
-        "vs_baseline": round(REF_SECONDS / value, 2),
+        "vs_baseline": round(REF_SECONDS / stats["median"], 2),
+        "min": round(stats["min"], 4),
+        "times": stats["times"],
+        "load_probe_s": stats["load_probe_s"],
+        "accept_rate": [round(float(a), 3) for a in np.atleast_1d(gp.accept_rate_)],
+        "ess": [round(float(e), 1) for e in ess],
+        "n_draws": int(np.prod(gp.sample_chains_.shape[:2])),
     }))
 
 
@@ -148,12 +195,15 @@ def main_fit_n(n_obs: int):
         thetaL=1e-3 * np.ones(DIM), thetaU=1e3 * np.ones(DIM),
         nugget=1e-6, random_start=10, random_state=0,
     )
-    value = _measure(lambda: gp.fit(X, y_std))
+    stats = _measure(lambda: gp.fit(X, y_std))
     print(json.dumps({
         "metric": f"gp_fit_per_iter_n{n_obs}_d5",
-        "value": round(value, 4),
+        "value": round(stats["median"], 4),
         "unit": "s",
         "vs_baseline": None,
+        "min": round(stats["min"], 4),
+        "times": stats["times"],
+        "load_probe_s": stats["load_probe_s"],
     }))
 
 

@@ -354,3 +354,70 @@ def test_escalate_nugget_contract():
     assert np.isfinite(gp2.log_likelihood_)
     mu, mse = gp2.predict(Xb[:4], eval_MSE=True)
     assert np.all(np.isfinite(mu)) and np.all(mse >= 0.0)
+
+
+def test_gp_f64_likelihood_option():
+    """dtype='f64' runs the whole fit/predict stack in float64 through the
+    pure-XLA linalg path (ref parity: the reference's f64 numpy/LAPACK MLE,
+    gpr.py:790-811) and matches the f32 fit on a well-conditioned problem."""
+    rng = np.random.default_rng(0)
+    n, dim = 80, 3
+    X = rng.uniform(-1, 1, (n, dim))
+    y = np.sin(3 * X[:, 0]) + X[:, 1] ** 2 + 0.1 * X[:, 2]
+    Xq = rng.uniform(-1, 1, (50, dim))
+    yq = np.sin(3 * Xq[:, 0]) + Xq[:, 1] ** 2 + 0.1 * Xq[:, 2]
+    results = {}
+    for dt in ("f32", "f64"):
+        gp = GaussianProcess(
+            mean=constant_trend(dim), corr="matern",
+            thetaL=1e-3 * np.ones(dim), thetaU=1e3 * np.ones(dim),
+            nugget=1e-6, random_state=1, dtype=dt,
+        )
+        gp.fit(X, y)
+        assert str(gp._state.L.dtype) == ("float64" if dt == "f64" else "float32")
+        mu, mse = gp.predict(Xq, eval_MSE=True)
+        assert np.all(np.isfinite(mu)) and np.all(mse >= 0)
+        results[dt] = (np.corrcoef(mu.ravel(), yq)[0, 1], np.asarray(gp.theta_))
+    # both precisions solve this easy problem, and agree on theta
+    assert results["f32"][0] > 0.99 and results["f64"][0] > 0.99
+    assert np.allclose(results["f32"][1], results["f64"][1], rtol=0.2)
+    # gradients flow in f64 too
+    gp64 = GaussianProcess(
+        mean=constant_trend(dim), corr="matern",
+        thetaL=1e-3 * np.ones(dim), thetaU=1e3 * np.ones(dim),
+        nugget=1e-6, random_state=1, dtype="f64",
+    )
+    gp64.fit(X, y)
+    dmu, dmse = gp64.gradient(Xq[0])
+    assert np.all(np.isfinite(dmu)) and np.all(np.isfinite(dmse))
+
+
+def test_gp_cma_mle_path():
+    """GaussianProcess(optimizer='CMA') — the population-chain replacement
+    for the reference's IPOP-CMA-ES MLE option (ref: gpr.py:1164-1181 +
+    cma_es.py:565-620) — fits, predicts, and reaches an optimum NLL
+    comparable to the BFGS ladder on fixed datasets."""
+    for seed, dim, fn in [
+        (0, 2, lambda X: np.sin(3 * X[:, 0]) + X[:, 1] ** 2),
+        (3, 3, lambda X: np.exp(-np.sum(X**2, 1)) + X[:, 0]),
+    ]:
+        rng = np.random.default_rng(seed)
+        X = rng.uniform(-1, 1, (60, dim))
+        y = fn(X) + 0.05 * rng.standard_normal(60)
+        nlls = {}
+        for opt in ("BFGS", "CMA"):
+            gp = GaussianProcess(
+                mean=constant_trend(dim), corr="matern",
+                thetaL=1e-3 * np.ones(dim), thetaU=1e3 * np.ones(dim),
+                nugget=1e-6, random_start=8, random_state=1, optimizer=opt,
+            )
+            gp.fit(X, y)
+            assert gp.is_fitted
+            mu, mse = gp.predict(X, eval_MSE=True)
+            assert np.all(np.isfinite(mu)) and np.all(mse >= 0)
+            # in-sample interpolation quality
+            assert np.corrcoef(mu.ravel(), y)[0, 1] > 0.95, (opt, seed)
+            nlls[opt] = -gp.log_likelihood_
+        # CMA's optimum NLL within a few nats of the gradient ladder's
+        # (|nll| here is O(10-100); 5.0 nats = same basin quality)
+        assert nlls["CMA"] <= nlls["BFGS"] + 5.0, nlls

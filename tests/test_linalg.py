@@ -124,3 +124,34 @@ def test_factor_hybrid_matches_numpy():
 
     W_ref = sla.solve_triangular(np.asarray(L, np.float64), B, lower=True)
     assert np.abs(np.asarray(W, np.float64) - W_ref).max() < 1e-3
+
+
+def test_super_solves_match_blocked():
+    """tri_solve_{lower,upper_t}_super (explicit superpanel inverses, the
+    round-5 backward hybrid) agree with the blocked reference solves."""
+    import jax.numpy as jnp
+
+    from bayesian_optimization_tpu.ops.linalg import (
+        _factor, _super_inv, tri_solve_lower, tri_solve_lower_super,
+        tri_solve_upper_t, tri_solve_upper_t_super,
+    )
+
+    rng = np.random.default_rng(0)
+    n, S = 512, 128  # 4 superpanels of 128 so the test stays CPU-sized
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    R = A @ A.T / n + np.eye(n, dtype=np.float32)
+    B = rng.standard_normal((n, 7)).astype(np.float32)
+    L, Dinv, piv = _factor(jnp.asarray(R))
+    Dsup = _super_inv(L, Dinv, super_block=S)
+    X1 = tri_solve_lower(L, Dinv, jnp.asarray(B))
+    X1s = tri_solve_lower_super(L, Dsup, jnp.asarray(B), super_block=S)
+    assert np.allclose(np.asarray(X1), np.asarray(X1s), atol=2e-4), np.abs(
+        np.asarray(X1) - np.asarray(X1s)
+    ).max()
+    X2 = tri_solve_upper_t(L, Dinv, jnp.asarray(B))
+    X2s = tri_solve_upper_t_super(L, Dsup, jnp.asarray(B), super_block=S)
+    assert np.allclose(np.asarray(X2), np.asarray(X2s), atol=2e-4)
+    # single-superpanel degenerate case (ns == 1)
+    Dsup1 = _super_inv(L, Dinv, super_block=n)
+    X3s = tri_solve_lower_super(L, Dsup1, jnp.asarray(B), super_block=n)
+    assert np.allclose(np.asarray(X1), np.asarray(X3s), atol=2e-4)
