@@ -178,7 +178,10 @@ class MOBO(BaseMOBO):
         lo, hi = _pad_cells(part.cell_lower, part.cell_upper)
         import jax.numpy as jnp
 
-        return {"cell_lower": jnp.asarray(lo), "cell_upper": jnp.asarray(hi)}
+        out = {"cell_lower": jnp.asarray(lo), "cell_upper": jnp.asarray(hi)}
+        if self._constraints is not None:
+            out["_penalty_t"] = 10.0 + float(self._argmax.max_FEs)
+        return out
 
     def _argmax_one(self, acq_par: dict, fixed_units, x0_seed=None):
         # model outputs are already maximization-oriented; no sign flip
@@ -207,16 +210,23 @@ class MOBO_qEHVI(BaseMOBO):
         import jax.numpy as jnp
 
         key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31 - 1)))
-        return {"cell_lower": jnp.asarray(lo), "cell_upper": jnp.asarray(hi), "key": key}
+        out = {"cell_lower": jnp.asarray(lo), "cell_upper": jnp.asarray(hi), "key": key}
+        if self._constraints is not None:
+            out["_penalty_t"] = 10.0 + float(self._argmax.max_FEs)
+        return out
 
     def _q_argmax(self, q: int):
         from ..optim.argmax import AcquisitionArgmax
 
         if q not in self._q_argmax_cache:
             rep_space = self._search_space * q
+            # constraints are defined on the BASE space; the joint-q
+            # criterion reshapes each (q*dim) candidate into q per-copy
+            # rows before the penalty (optim/argmax.apply_penalty)
             self._q_argmax_cache[q] = AcquisitionArgmax(
                 rep_space.encoding(), method="OnePlusOne_Cholesky_CMA",
                 seed=(self.random_seed or 0) + 31 + q,
+                constraints=self._constraints,
             )
         return self._q_argmax_cache[q]
 

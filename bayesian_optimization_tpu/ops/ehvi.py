@@ -24,6 +24,16 @@ from jax.scipy.stats import norm
 _UPPER_CLAMP = 1e8  # inf upper bounds clamped for differentiability (ref :240-242)
 _SIGMA_FLOOR = 1e-9
 
+# MC sample count the fused qEHVI argmax uses (optim/argmax.py). The MC
+# estimator below is exact per sample (inclusion-exclusion over cells), so
+# the only error is variance; measured on a 3-point m=2 front (round 5,
+# tests/test_mo.py::test_qehvi_mc_accuracy): median |rel err| vs a 2^18
+# golden at q=2 is 11% @ S=16, 6.8% @ 64, 2.7% @ 256, 1.0% @ 1024; q=8 is
+# EASIER (errors average over candidates): 2.6% @ 64, 0.8% @ 256. S=256
+# keeps the q=2 error under ~3% at 4x the samples (cells x subsets x S
+# stays one fused einsum on the MXU).
+QEHVI_N_SAMPLES = int(__import__("os").environ.get("BOTPU_QEHVI_SAMPLES", "256"))
+
 
 def _psi(lower, upper, mu, sigma):
     """Eq. 19 of [Yang2019] (ref parity: analytic.py:176-200)."""

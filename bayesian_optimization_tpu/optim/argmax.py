@@ -150,7 +150,7 @@ def make_unit_criterion(
     if acq_name.startswith("qEHVI"):
         # joint q-point criterion over a q-replicated space; the static q is
         # encoded in the name (e.g. "qEHVI4") so it stays jit-static
-        from ..ops.ehvi import qehvi
+        from ..ops.ehvi import QEHVI_N_SAMPLES, qehvi
 
         q = int(acq_name[5:] or 1)
 
@@ -175,7 +175,7 @@ def make_unit_criterion(
             value = jax.vmap(
                 lambda m, s: qehvi(
                     m, s, acq_params["cell_lower"], acq_params["cell_upper"],
-                    acq_params["key"], n_samples=64,
+                    acq_params["key"], n_samples=QEHVI_N_SAMPLES,
                 )
             )(mu, sd)
             # per-copy constraint penalties summed over the q block
@@ -212,8 +212,17 @@ def _select_feasible(constraints, X, F, x_fallback, f_fallback):
     """Prefer the best FEASIBLE restart/chain winner over the population
     finals (X: (P, dim) unit rows, F: (P,) maximized values); fall back to
     the penalized best when no winner is feasible
-    (ref parity: optim/__init__.py:124-126 feasibility filter)."""
-    feas = constraints.feasible_in_program(X)
+    (ref parity: optim/__init__.py:124-126 feasibility filter).
+
+    On a q-replicated space (joint-q criteria: X is (P, q*dim)) every copy
+    must be feasible."""
+    d = constraints.encoding.dim
+    if X.shape[-1] != d:
+        qrep = X.shape[-1] // d
+        feas_flat = constraints.feasible_in_program(X.reshape(-1, d))
+        feas = jnp.all(feas_flat.reshape(X.shape[0], qrep), axis=1)
+    else:
+        feas = constraints.feasible_in_program(X)
     masked = jnp.where(feas, F, -jnp.inf)
     i = jnp.argmax(masked)
     any_f = jnp.any(feas)

@@ -267,3 +267,77 @@ def test_mobo_qehvi_3_objectives():
     opt.tell(X2, opt.evaluate(X2))
     assert opt.data.N == 10
     assert opt.xopt.N >= 2
+
+
+def test_qehvi_mc_accuracy():
+    """Golden the MC qEHVI against (a) the closed-form EHVI at q=1, (b) a
+    2^18-sample golden at q=2, and (c) the deterministic inclusion-exclusion
+    HVI at sigma->0 (round-5 verdict item 8; measured error table lives on
+    ops/ehvi.QEHVI_N_SAMPLES)."""
+    import jax
+
+    from bayesian_optimization_tpu.ops.box_decomposition import (
+        NondominatedPartitioning,
+    )
+    from bayesian_optimization_tpu.ops.ehvi import QEHVI_N_SAMPLES, ehvi, qehvi
+
+    Y = np.array([[0.2, 0.9], [0.5, 0.6], [0.8, 0.3]])
+    part = NondominatedPartitioning(np.array([0.0, 0.0]), Y)
+    lo, up = part.get_hypercell_bounds()
+    lo, up = jnp.asarray(lo, jnp.float32), jnp.asarray(up, jnp.float32)
+
+    # (a) q=1: MC agrees with the closed form
+    mu1 = jnp.asarray([[0.6, 0.7]], jnp.float32)
+    sd1 = jnp.asarray([[0.2, 0.15]], jnp.float32)
+    exact = float(ehvi(mu1, sd1, lo, up)[0])
+    est = float(qehvi(mu1, sd1, lo, up, jax.random.PRNGKey(0), n_samples=1 << 15))
+    assert abs(est - exact) / exact < 0.02, (est, exact)
+
+    # (b) q=2: the shipped sample count stays within ~6% of a 2^18 golden
+    mu2 = jnp.asarray([[0.6, 0.7], [0.9, 0.25]], jnp.float32)
+    sd2 = jnp.asarray([[0.2, 0.15], [0.1, 0.2]], jnp.float32)
+    gold = float(qehvi(mu2, sd2, lo, up, jax.random.PRNGKey(123), n_samples=1 << 18))
+    errs = [
+        abs(float(qehvi(mu2, sd2, lo, up, jax.random.PRNGKey(k), n_samples=QEHVI_N_SAMPLES)) - gold) / gold
+        for k in range(8)
+    ]
+    assert np.median(errs) < 0.06, errs
+
+    # (c) sigma -> 0: exactly the deterministic joint HVI for any S
+    sd0 = jnp.full((2, 2), 1e-9, jnp.float32)
+    v_a = float(qehvi(mu2, sd0, lo, up, jax.random.PRNGKey(0), n_samples=16))
+    v_b = float(qehvi(mu2, sd0, lo, up, jax.random.PRNGKey(5), n_samples=256))
+    assert abs(v_a - v_b) < 1e-5
+
+
+def test_mobo_constrained_asks_feasible():
+    """Constraints flow into the EHVI argmax (round 5): with g(x) = x - 2
+    (feasible iff x <= 2), every model-driven MOBO ask lands feasible."""
+    space = RealSpace([-2, 4], var_name="x", random_seed=0)
+    opt = MOBO(
+        search_space=space, obj_fun=[_schaffer, _schaffer2], n_obj=2,
+        ineq_fun=lambda x: x[0] - 2.0,
+        DoE_size=6, max_FEs=18, random_seed=0,
+    )
+    assert opt._constraints is not None and opt._constraints.traceable
+    opt.run()
+    xs = np.asarray([row[0] for row in opt.data.tolist()], dtype=float)
+    # DoE points come from the constrained SCMC sampler; model asks through
+    # the penalized argmax + ask-level filter — all told points feasible
+    assert np.all(xs <= 2.0 + 1e-6), xs.max()
+
+
+def test_mobo_qehvi_constrained_joint():
+    """Joint-q qEHVI with a constraint: per-copy penalty + all-copy
+    feasibility preference on the replicated space."""
+    space = RealSpace([-2, 4], var_name="x", random_seed=0)
+    opt = MOBO_qEHVI(
+        search_space=space, obj_fun=[_schaffer, _schaffer2], n_obj=2,
+        ineq_fun=lambda x: x[0] - 2.0,
+        DoE_size=6, max_FEs=16, n_point=2, random_seed=0,
+    )
+    X = opt.ask(6)
+    opt.tell(X, opt.evaluate(X))
+    X2 = opt.ask()
+    assert len(X2) == 2
+    assert all(float(r[0]) <= 2.0 + 1e-6 for r in X2), X2
