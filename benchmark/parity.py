@@ -241,6 +241,66 @@ def ref_config5(seed):
     return float(np.ravel(opt.xopt.fitness)[0]), time.perf_counter() - t0
 
 
+def _con_obj(x):
+    return float(np.sum(np.asarray(x, dtype=float) ** 2)
+                 + 5 * np.sum(np.asarray(x, dtype=float)) + 10)
+
+
+def _con_h(x):
+    return np.sum(x) - 1
+
+
+def ours_config6(seed):
+    """Equality-constrained BO (ref parity: unittest/test_constraint.py:29-56).
+    Metric: fopt if the winner is near-feasible (|h| <= 0.1), else fopt plus
+    a 1e3 feasibility penalty so violations are visible in the record."""
+    from bayesian_optimization_tpu import BO, GaussianProcess, RealSpace
+
+    dim = 2
+    model = GaussianProcess(
+        corr="squared_exponential", thetaL=1e-5 * np.ones(dim),
+        thetaU=np.ones(dim), nugget=1e-1, random_state=seed,
+    )
+    opt = BO(search_space=RealSpace([0, 1]) * dim, obj_fun=_con_obj,
+             eq_fun=_con_h, model=model, max_FEs=20, DoE_size=3,
+             acquisition_fun="MGFI", acquisition_par={"t": 2},
+             acquisition_optimization={"optimizer": "BFGS"}, random_seed=seed)
+    t0 = time.perf_counter()
+    xopt, fopt, _ = opt.run()
+    viol = abs(float(_con_h(np.asarray(xopt, dtype=float).ravel())))
+    f = float(np.ravel(fopt)[0]) + (0.0 if viol <= 0.1 else 1e3 * viol)
+    return f, time.perf_counter() - t0
+
+
+def ref_config6(seed):
+    from bayes_optim import BO as RefBO, RealSpace as RefRealSpace
+    from bayes_optim.surrogate import GaussianProcess as RefGP
+    from bayes_optim.utils.exception import AskEmptyError as RefAskEmpty
+
+    dim = 2
+    model = RefGP(corr="squared_exponential", thetaL=1e-5 * np.ones(dim),
+                  thetaU=np.ones(dim), theta0=0.5 * np.ones(dim),
+                  nugget=1e-1, random_state=seed)
+    opt = RefBO(search_space=RefRealSpace([0, 1]) * dim, obj_fun=_con_obj,
+                eq_fun=_con_h, model=model, max_FEs=20, DoE_size=3,
+                acquisition_fun="MGFI", acquisition_par={"t": 2},
+                acquisition_optimization={"optimizer": "BFGS"},
+                random_seed=seed, verbose=False)
+    t0 = time.perf_counter()
+    try:
+        xopt, _, __ = opt.run()
+        xv = np.asarray(xopt, dtype=float).ravel()
+    except RefAskEmpty:
+        # the reference stochastically dies mid-run on this config in this
+        # environment (its create_DoE can return empty after 4 unlucky SCMC
+        # rejection rounds, base.py:377-400); score its best-so-far, i.e.
+        # the run truncated by its own failure
+        xv = np.asarray(opt.xopt.tolist(), dtype=float).ravel()
+    viol = abs(float(_con_h(xv)))
+    f = _con_obj(xv) + (0.0 if viol <= 0.1 else 1e3 * viol)
+    return f, time.perf_counter() - t0
+
+
 CONFIGS = {
     "1_fmin_sphere2d": (ours_config1, ref_config1),
     "2a_bo_ucb_5d": (lambda s: ours_config2(s, "UCB"), lambda s: ref_config2(s, "UCB")),
@@ -249,6 +309,7 @@ CONFIGS = {
     "4_mixed_mies": (ours_config4, ref_config4),
     "5_pcabo_elli20": (ours_config5, ref_config5),
     "5b_noisybo_elli20": (ours_config5b, ref_config5b),
+    "6_constrained_eq": (ours_config6, ref_config6),
 }
 
 

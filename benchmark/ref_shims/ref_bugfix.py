@@ -4,7 +4,8 @@ configs before a single head-to-head iteration completes. Unlike
 ref_sklearn_compat (API drift vs the installed sklearn), each patch here
 repairs a defect the reference has under ANY dependency versions. Every
 patch is the smallest change that lets the reference run as evidently
-intended; none makes the reference *better* than its design.
+intended; none makes the reference *better* than its design. (Patch 5, the
+constrained-sample scalar crash, was added in round 5 for parity config 6.)
 
 1. `PI` cannot be constructed (parity config 2b).
    /root/reference/bayes_optim/acquisition/acquisition_fun.py:230-236:
@@ -122,3 +123,28 @@ def apply() -> None:
 
         __getitem__._ref_bugfix = True
         SearchSpace.__getitem__ = __getitem__
+
+
+    # -- 5. constrained sample(): scalar h/g returns crash the rejection -
+    # (parity config 6 and the reference's OWN unittest/test_constraint
+    # cases). search_space.py:540 does `all(np.isclose(np.abs(h(x)), 0,
+    # atol=tol))` — with h returning a python/numpy SCALAR (e.g.
+    # `np.sum(x) - 1`), np.isclose returns a 0-d boolean and `all()`
+    # raises "'numpy.bool' object is not iterable", which :548 converts
+    # to ConstraintEvaluationError and the run dies at the DoE. Patch:
+    # wrap the user's h/g to return 1-d float arrays (the evidently
+    # intended contract — the g branch at :545 already uses np.all).
+    if not getattr(SearchSpace.sample, "_ref_bugfix_constraints", False):
+        _sample0 = SearchSpace.sample
+
+        def sample(self, N=1, method="uniform", h=None, g=None, tol=1e-2):
+            if h is not None:
+                _h = h
+                h = lambda x: np.atleast_1d(np.asarray(_h(x), dtype=float))
+            if g is not None:
+                _g = g
+                g = lambda x: np.atleast_1d(np.asarray(_g(x), dtype=float))
+            return _sample0(self, N, method=method, h=h, g=g, tol=tol)
+
+        sample._ref_bugfix_constraints = True
+        SearchSpace.sample = sample
