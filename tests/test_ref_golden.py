@@ -188,15 +188,28 @@ def test_cma_fit_quality_on_reference_likelihood(ref_gpr):
     X, y = _dataset(seed=4)
     d = X.shape[1]
 
+    import signal
+
+    def _alarm(signum, frame):
+        raise TimeoutError("reference IPOP-CMA-ES exceeded 60 s")
+
     ref = _ref_model(RefGP, ref_trend, d)
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(60)
     try:
         ref.optimizer = "CMA"
         ref.fit(X, y.reshape(-1, 1))
     except Exception:
-        # the reference's IPOP path crashes on its own (e.g. the swapped
-        # lb/ub at gpr.py:1170-1171); its BFGS optimum is then the baseline
+        # the reference's IPOP path receives SWAPPED bounds (lb=log10bounds
+        # [:,1], ub=log10bounds[:,0], gpr.py:1170-1171) and in this
+        # environment loops without terminating (observed >9 min on a run
+        # its eval_budget bounds at 600 evals) or crashes; its BFGS optimum
+        # is then the baseline
         ref = _ref_model(RefGP, ref_trend, d)
         ref.fit(X, y.reshape(-1, 1))
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
     ll_ref_at_ref = float(np.asarray(ref.log_likelihood_).ravel()[0])
 
     ours = GaussianProcess(
