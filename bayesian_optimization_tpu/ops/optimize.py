@@ -76,6 +76,7 @@ def _lbfgs_compact(zfun, z0, max_iter, memory_size, max_linesearch_steps):
         t: jnp.ndarray      # current trial step length
         n_probe: jnp.ndarray   # backtracking probes taken this step
         n_accept: jnp.ndarray  # completed iterations
+        done: jnp.ndarray      # stalled: the state machine is at a fixed point
 
     def direction(st: St) -> jnp.ndarray:
         nv = jnp.minimum(st.k, m)
@@ -108,7 +109,7 @@ def _lbfgs_compact(zfun, z0, max_iter, memory_size, max_linesearch_steps):
 
     def cond(st: St):
         # +1: the first "iteration" is the state machine evaluating z0
-        return st.n_accept < max_iter + 1
+        return (st.n_accept < max_iter + 1) & jnp.logical_not(st.done)
 
     def body(st: St):
         z_trial = jnp.clip(st.z + st.t * st.p, -_Z_CLIP, _Z_CLIP)
@@ -141,11 +142,19 @@ def _lbfgs_compact(zfun, z0, max_iter, memory_size, max_linesearch_steps):
         rho = jnp.where(curv_ok, st.rho.at[slot].set(1.0 / jnp.maximum(sy, 1e-30)), st.rho)
         k = st.k + curv_ok.astype(jnp.int32)
         gamma = jnp.where(curv_ok, sy / jnp.maximum(jnp.dot(y, y), 1e-30), st.gamma)
+        # a concluded step that did NOT move (line search exhausted, or an
+        # armijo pass at a non-improving value) leaves (z, f, g, history)
+        # bit-identical — the next iteration recomputes the SAME direction,
+        # resets t=1, and replays the SAME failed probes: a deterministic
+        # fixed point. Exiting here changes nothing about the result and
+        # stops the while_loop burning the remaining budget (a batched
+        # program exits once EVERY restart lane is done/at max_iter).
         acc_st = St(
             z=z_new, f=f_new, g=g_new, S=S, Y=Y, rho=rho, k=k, gamma=gamma,
             p=jnp.zeros((d,), dtype), gTp=jnp.zeros((), dtype),
             t=jnp.ones((), dtype), n_probe=jnp.zeros((), jnp.int32),
             n_accept=st.n_accept + 1,
+            done=jnp.logical_not(good),
         )
         p_new = direction(acc_st)
         acc_st = acc_st._replace(p=p_new, gTp=jnp.dot(g_new, p_new))
@@ -164,6 +173,7 @@ def _lbfgs_compact(zfun, z0, max_iter, memory_size, max_linesearch_steps):
         p=jnp.zeros((d,), dtype), gTp=jnp.asarray(0.0, dtype),
         t=jnp.ones((), dtype), n_probe=jnp.zeros((), jnp.int32),
         n_accept=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
     )
     out = jax.lax.while_loop(cond, body, init)
     return out.z, out.f

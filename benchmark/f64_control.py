@@ -22,6 +22,8 @@ os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def bench_data(n_obs, dim=5, seed=1):
     """The bench.py problem: X ~ U[0,1]^d, y = sum(sin(3x)) + noise."""
