@@ -122,6 +122,35 @@ def test_vmapped_lbfgs_minimizes_quadratic():
     assert np.allclose(np.asarray(res.x_best), x_star, atol=1e-3)
 
 
+def test_lbfgs_exits_at_line_search_fixed_point():
+    """Once a lane's line search exhausts without improving, its state is a
+    deterministic fixed point — the while_loop must exit instead of burning
+    the rest of max_iter replaying it (round-5 headline 2x). Counted with
+    the loop run eagerly (disable_jit) so a host-side counter sees every
+    objective evaluation."""
+    import jax
+
+    A = jnp.asarray(np.diag([1.0, 4.0, 9.0]), jnp.float32)
+    b = jnp.asarray([1.0, -2.0, 0.5], jnp.float32)
+    n_evals = 0
+
+    def fun(x):
+        nonlocal n_evals
+        n_evals += 1
+        return 0.5 * x @ A @ x - b @ x
+
+    x0 = jnp.asarray(np.random.default_rng(3).uniform(-4, 4, (2, 3)), jnp.float32)
+    with jax.disable_jit():
+        res = minimize_restarts(
+            fun, x0, jnp.full(3, -5.0), jnp.full(3, 5.0), max_iter=500
+        )
+    x_star = np.linalg.solve(np.asarray(A), np.asarray(b))
+    assert np.allclose(np.asarray(res.x_best), x_star, atol=1e-3)
+    # a 3-D strongly-convex quadratic converges (then stalls at f32 line-
+    # search precision) in tens of steps; without the exit this is >= 1000
+    assert n_evals < 400, n_evals
+
+
 def test_gp_fit_predict_interpolates():
     rng = np.random.default_rng(4)
     X = rng.uniform(-3, 3, (20, 2))
