@@ -12,8 +12,10 @@ model-driven ask, respects the constraints.
 Run: JAX_PLATFORM_NAME=cpu python examples/example_constrained_bo.py
 """
 import os
+import sys
 
 os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
