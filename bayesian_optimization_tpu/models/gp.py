@@ -465,6 +465,7 @@ class GaussianProcess:
     def _run_mle_ladder(
         self, starts, lo_b, hi_b, data_host, data_dev, n, n_pad, nv_j, beta0, config,
         iters_scale: float = 1.0,
+        warm_refit: bool = False,
     ):
         """Multi-fidelity MLE: a successive-halving ladder over data subsets
         replaces the reference's flat multi-restart budget (gpr.py:1058-1197).
@@ -472,13 +473,26 @@ class GaussianProcess:
         exploration is nearly free and only the best basins ever touch the
         full data. The whole ladder is ONE jitted program (_ladder_kernel).
         iters_scale < 1 runs a shortened ladder (e.g. to seed sampler chains
-        at the MAP)."""
+        at the MAP).
+
+        warm_refit=True (a BO-loop refit with < 25% new data since the last
+        FULL ladder, fit() decides) skips the exploration rungs entirely:
+        the previous optimum + the data-derived median-heuristic start
+        polish on the full data at the full iteration budget. With the
+        L-BFGS stall exit both lanes terminate within a few steps of
+        convergence, so the refit pays ~one short full-data stage instead
+        of the whole schedule; the 25%-growth trigger re-runs the global
+        schedule periodically so the fit cannot track a stale local basin
+        across a long run."""
         Xp, Yp = data_host
         Xj, Yj, Fj, maskj, n_j = data_dev
         max_iter = max(4, int(self.max_iter * iters_scale))
-        rungs, (n_final, iters_b) = _mle_ladder_plan(
-            n, n_pad, len(starts), max_iter, self.multi_fidelity
-        )
+        if warm_refit:
+            rungs, (n_final, iters_b) = [], (min(2, len(starts)), max_iter)
+        else:
+            rungs, (n_final, iters_b) = _mle_ladder_plan(
+                n, n_pad, len(starts), max_iter, self.multi_fidelity
+            )
         # rung subsets ship in ONE batched device_put; the per-size
         # constants (all-ones mask, count scalar) are cached across
         # refits, so a warm fit's rung uploads are one RPC batch
@@ -593,6 +607,18 @@ class GaussianProcess:
             starts[1, :dim] = np.log10(np.clip(theta_med, self.thetaL, self.thetaU))
 
         noise_var = self.noise_var if self.estimation_mode == "noisy" else 0.0
+        # BO-loop refits with < 25% new data since the last FULL ladder skip
+        # the exploration rungs: the previous optimum + median-heuristic
+        # starts polish on the full data (the stall exit makes this a few
+        # L-BFGS steps). The growth trigger periodically re-runs the global
+        # schedule; BOTPU_NO_WARM_REFIT=1 disables the fast path.
+        warm_ok = (
+            warm is not None
+            and len(warm) == dim
+            and _os.environ.get("BOTPU_NO_WARM_REFIT") is None
+            and getattr(self, "_full_ladder_n", 0) > 0
+            and n <= int(self._full_ladder_n * 1.25)
+        )
         n_j = jnp.asarray(float(n), self.dtype)
         for attempt in range(6):
             lo_b = jnp.asarray(bounds[:, 0], self.dtype)
@@ -709,10 +735,13 @@ class GaussianProcess:
                             dim, y, noise_var, config, bounds, starts, R
                         )
                         continue
+                wr = warm_ok and attempt == 0  # escalation regenerates starts
                 par, nll, state = self._run_mle_ladder(
                     starts, lo_b, hi_b, (Xp, Yp), (Xj, Yj, Fj, maskj, n_j),
-                    n, n_pad, nv_j, beta0, config,
+                    n, n_pad, nv_j, beta0, config, warm_refit=wr,
                 )
+                if not wr:
+                    self._full_ladder_n = n
             ok_h, theta_h, nll_h, s2_h, beta_h = jax.device_get(
                 _fit_summary(par, nll, state)
             )
