@@ -68,7 +68,11 @@ def _measure(one_iter):
     quiet; the load probe annotates tunnel state)."""
     import numpy as np
 
-    _mark("setup done; warm-up iteration (cold XLA compiles)")
+    _mark("setup done; warm-up iterations (cold XLA compiles)")
+    one_iter()
+    # second warm-up: the FIRST iteration runs the cold-fit program path
+    # (full MLE ladder); iteration two hits the warm-refit program, whose
+    # own first compile must not pollute the measured reps
     one_iter()
     _mark("warm-up done; measuring")
     times = []
